@@ -1,0 +1,163 @@
+"""Synthetic scene / trajectory / image generation for tests and benchmarks.
+
+The reference is exercised only against live ROS camera streams or dataset
+bags; it ships no fixtures (SURVEY.md section 4).  This module provides the
+deterministic ground-truth loop the TPU build is validated against in an
+egress-free environment:
+
+  * `make_scene`       — random 3D landmark cloud with per-point appearance
+  * `make_trajectory`  — smooth camera path (orbit / arc) as Tcw poses
+  * `render_sequence`  — rasterized 8-bit grayscale images with corner-rich
+                         texture at landmark projections (drives the real
+                         FAST/rBRIEF front end)
+  * `feature_tracks`   — feature-level observations (uv + landmark id) that
+                         bypass the extractor, for isolating tracking/BA tests
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from coslam_tpu.config import CameraConfig
+from coslam_tpu.utils import evaluation
+
+
+@dataclass
+class Scene:
+    points: np.ndarray        # (P, 3) world landmarks
+    point_phase: np.ndarray   # (P,) appearance seed per landmark
+
+
+@dataclass
+class Trajectory:
+    poses_cw: np.ndarray      # (F, 4, 4) world-to-camera (Tcw)
+
+    @property
+    def centers(self) -> np.ndarray:
+        return np.asarray(evaluation.trajectory_xyz(self.poses_cw))
+
+
+def make_scene(n_points: int = 2000, seed: int = 0,
+               box=((-4.0, 4.0), (-3.0, 3.0), (4.0, 12.0))) -> Scene:
+    rng = np.random.default_rng(seed)
+    pts = np.stack([rng.uniform(lo, hi, n_points) for lo, hi in box], axis=1)
+    phase = rng.uniform(0, 2 * np.pi, n_points)
+    return Scene(points=pts.astype(np.float32), point_phase=phase.astype(np.float32))
+
+
+def _look_at(eye, target, up=(0, -1, 0)):
+    """World-to-camera pose looking from eye toward target (z forward)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.asarray(up, np.float64)
+    right = np.cross(up, fwd)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    Rwc = np.stack([right, down, fwd], axis=1)  # columns = camera axes in world
+    Rcw = Rwc.T
+    tcw = -Rcw @ eye
+    T = np.eye(4)
+    T[:3, :3] = Rcw
+    T[:3, 3] = tcw
+    return T
+
+
+def make_trajectory(n_frames: int = 60, kind: str = "arc",
+                    radius: float = 2.0, seed: int = 0) -> Trajectory:
+    """Smooth sideways arc with slight forward drift, always looking at the
+    scene centroid region — generates translation + parallax like a handheld
+    sweep (TUM fr1_xyz style)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    target = np.array([0.0, 0.0, 8.0])
+    for i in range(n_frames):
+        u = i / max(n_frames - 1, 1)
+        angle = (u - 0.5) * 1.2
+        eye = np.array([
+            radius * np.sin(angle),
+            0.35 * np.sin(2.0 * np.pi * u),
+            0.6 * np.sin(np.pi * u),
+        ])
+        if kind == "orbit":
+            eye = np.array([radius * np.sin(angle), 0.3 * np.sin(4 * angle),
+                            radius * (1 - np.cos(angle))])
+        jitter = rng.normal(0, 0.002, 3)
+        poses.append(_look_at(eye + jitter, target))
+    return Trajectory(poses_cw=np.stack(poses).astype(np.float32))
+
+
+def _project_np(cam: CameraConfig, Tcw: np.ndarray, pts: np.ndarray):
+    pc = pts @ Tcw[:3, :3].T + Tcw[:3, 3]
+    z = pc[:, 2]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = pc[:, 0] / z * cam.fx + cam.cx
+        v = pc[:, 1] / z * cam.fy + cam.cy
+    return np.stack([u, v], axis=1), z
+
+
+def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
+                 patch: int = 9, seed: int = 0) -> np.ndarray:
+    """Rasterize one 8-bit grayscale frame.
+
+    Each visible landmark is drawn as a bright axis-aligned square whose
+    intensity is a deterministic function of the landmark id, on a mid-gray
+    background with low-amplitude deterministic noise.  Square corners are
+    strong FAST corners and the local patch is stable across small viewpoint
+    changes, so the full oriented-BRIEF pipeline can match them across frames.
+    """
+    h, w = cam.height, cam.width
+    rng = np.random.default_rng(seed)  # static background noise (same all frames)
+    img = (96 + 8 * rng.standard_normal((h, w))).clip(0, 255)
+    uv, z = _project_np(cam, Tcw, scene.points)
+    half = patch // 2
+    vis = (z > 0.3) & (uv[:, 0] >= half + 1) & (uv[:, 0] < w - half - 1) \
+        & (uv[:, 1] >= half + 1) & (uv[:, 1] < h - half - 1)
+    order = np.argsort(-z)  # far first so near landmarks draw on top
+    for idx in order:
+        if not vis[idx]:
+            continue
+        cu, cv = int(round(uv[idx, 0])), int(round(uv[idx, 1]))
+        # deterministic per-landmark brightness in [170, 255]
+        val = 170 + (np.sin(scene.point_phase[idx]) * 0.5 + 0.5) * 85
+        # scale square size mildly with inverse depth for scale consistency
+        size = int(np.clip(round(patch * 6.0 / z[idx]), 5, 15))
+        hs = size // 2
+        img[cv - hs:cv + hs + 1, cu - hs:cu + hs + 1] = val
+        # dark inner dot breaks symmetry -> non-degenerate orientation/BRIEF
+        img[cv - 1:cv + 2, cu - hs:cu - hs + 2] = 40
+    return img.astype(np.uint8)
+
+
+def render_sequence(cam: CameraConfig, traj: Trajectory, scene: Scene,
+                    seed: int = 0) -> np.ndarray:
+    return np.stack([render_frame(cam, T, scene, seed=seed)
+                     for T in traj.poses_cw])
+
+
+def feature_tracks(cam: CameraConfig, traj: Trajectory, scene: Scene,
+                   max_obs: int = 512, noise_px: float = 0.3, seed: int = 0):
+    """Feature-level observations bypassing the extractor.
+
+    Returns per-frame arrays:
+      uv:    (F, max_obs, 2) float32 pixel observations (noisy)
+      ids:   (F, max_obs) int32 landmark index, -1 = padding
+      valid: (F, max_obs) bool
+    """
+    rng = np.random.default_rng(seed)
+    F = traj.poses_cw.shape[0]
+    uv_out = np.zeros((F, max_obs, 2), np.float32)
+    id_out = np.full((F, max_obs), -1, np.int32)
+    for f, Tcw in enumerate(traj.poses_cw):
+        uv, z = _project_np(cam, Tcw, scene.points)
+        vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
+            & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        idx = np.nonzero(vis)[0]
+        if idx.size > max_obs:
+            idx = rng.choice(idx, max_obs, replace=False)
+        n = idx.size
+        uv_out[f, :n] = uv[idx] + rng.normal(0, noise_px, (n, 2))
+        id_out[f, :n] = idx
+    return uv_out, id_out, id_out >= 0

@@ -1,0 +1,32 @@
+"""Test harness: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware is not available in CI; sharding paths are validated on
+XLA's host-platform virtual devices (SURVEY.md section 4: the reference has no
+tests at all — this harness is designed from scratch).
+
+Note: the ambient environment registers a remote-TPU ("axon") PJRT plugin from
+sitecustomize, which imports jax at interpreter boot with JAX_PLATFORMS=axon.
+Env vars set here are therefore too late; we must override through
+jax.config *before any backend is initialized*.
+"""
+
+import os
+
+# Must precede first backend initialization (sitecustomize only registers the
+# plugin; devices are created lazily, so this is still in time).
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
