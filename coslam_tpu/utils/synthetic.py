@@ -29,6 +29,7 @@ from coslam_tpu.utils import evaluation
 class Scene:
     points: np.ndarray        # (P, 3) world landmarks
     point_phase: np.ndarray   # (P,) appearance seed per landmark
+    point_tex: np.ndarray     # (P, 8, 8) unique asymmetric texture patch
 
 
 @dataclass
@@ -45,7 +46,13 @@ def make_scene(n_points: int = 2000, seed: int = 0,
     rng = np.random.default_rng(seed)
     pts = np.stack([rng.uniform(lo, hi, n_points) for lo, hi in box], axis=1)
     phase = rng.uniform(0, 2 * np.pi, n_points)
-    return Scene(points=pts.astype(np.float32), point_phase=phase.astype(np.float32))
+    # Unique high-contrast asymmetric texture per landmark: the descriptor
+    # front end needs natural-image-like patches (symmetric blobs make the
+    # IC orientation degenerate).
+    tex = rng.integers(30, 226, size=(n_points, 8, 8)).astype(np.float32)
+    return Scene(points=pts.astype(np.float32),
+                 point_phase=phase.astype(np.float32),
+                 point_tex=tex)
 
 
 def _look_at(eye, target, up=(0, -1, 0)):
@@ -112,22 +119,29 @@ def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
     rng = np.random.default_rng(seed)  # static background noise (same all frames)
     img = (96 + 8 * rng.standard_normal((h, w))).clip(0, 255)
     uv, z = _project_np(cam, Tcw, scene.points)
-    half = patch // 2
-    vis = (z > 0.3) & (uv[:, 0] >= half + 1) & (uv[:, 0] < w - half - 1) \
-        & (uv[:, 1] >= half + 1) & (uv[:, 1] < h - half - 1)
+    vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < w) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
     order = np.argsort(-z)  # far first so near landmarks draw on top
     for idx in order:
         if not vis[idx]:
             continue
         cu, cv = int(round(uv[idx, 0])), int(round(uv[idx, 1]))
-        # deterministic per-landmark brightness in [170, 255]
-        val = 170 + (np.sin(scene.point_phase[idx]) * 0.5 + 0.5) * 85
-        # scale square size mildly with inverse depth for scale consistency
-        size = int(np.clip(round(patch * 6.0 / z[idx]), 5, 15))
+        # landmark rendered as its unique 8x8 texture, nearest-neighbor
+        # upscaled with inverse depth (coarse perspective scaling)
+        size = int(np.clip(round(patch * 16.0 / z[idx]), 12, 40))
+        # scale-consistent nearest-neighbor resize: the full 8x8 texture
+        # always maps onto the square, whatever the apparent size
+        src = np.minimum((np.arange(size) * 8) // size, 7)
+        tile = scene.point_tex[idx][np.ix_(src, src)]
         hs = size // 2
-        img[cv - hs:cv + hs + 1, cu - hs:cu + hs + 1] = val
-        # dark inner dot breaks symmetry -> non-degenerate orientation/BRIEF
-        img[cv - 1:cv + 2, cu - hs:cu - hs + 2] = 40
+        y0, y1 = cv - hs, cv - hs + size
+        x0, x1 = cu - hs, cu - hs + size
+        ty0, tx0 = max(0, -y0), max(0, -x0)
+        y0, x0 = max(0, y0), max(0, x0)
+        y1, x1 = min(h, y1), min(w, x1)
+        if y1 <= y0 or x1 <= x0:
+            continue
+        img[y0:y1, x0:x1] = tile[ty0:ty0 + (y1 - y0), tx0:tx0 + (x1 - x0)]
     return img.astype(np.uint8)
 
 
