@@ -1,0 +1,299 @@
+"""Local mapping stages: keyframe insertion, new-point triangulation,
+point-geometry refresh, culling, local BA.
+
+TPU reformulation of the reference LocalMapping thread (ORB_SLAM2/src/
+LocalMapping.cc): ProcessNewKeyFrame (:128), CreateNewMapPoints (:207),
+MapPointCulling (:170), and the local-BA call (:~Optimizer.cc:453).  All
+stages are pure MapState -> MapState functions; the queue/mutex machinery of
+the reference dissolves (SURVEY.md 2.5 P1).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SystemConfig
+from coslam_tpu.models.frame import Frame
+from coslam_tpu.models import map_state as ms
+from coslam_tpu.ops import matching
+from coslam_tpu.optim import ba
+from coslam_tpu.utils import geometry as geo
+
+_he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+N_TRIANG_NEIGHBORS = 4  # unrolled neighbor pairs per insertion (reference
+                        # uses nn=20 covisible neighbors, LocalMapping.cc:210;
+                        # 4 wide batched searches cover similar ground)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def insert_keyframe(cfg: SystemConfig, m: ms.MapState, frame: Frame,
+                    T, frame_id, kp_pt) -> Tuple[ms.MapState, jnp.ndarray]:
+    """Write the frame into the next keyframe slot with its tracked
+    associations (reference Tracking::CreateNewKeyFrame, Tracking.cc:1065 +
+    LocalMapping::ProcessNewKeyFrame, LocalMapping.cc:128)."""
+    k = m.n_kf
+    safe_pt = jnp.maximum(kp_pt, 0)
+    assoc = (kp_pt >= 0) & frame.valid & m.pt_valid[safe_pt]
+    m = m._replace(
+        kf_pose=m.kf_pose.at[k].set(T),
+        kf_valid=m.kf_valid.at[k].set(True),
+        kf_frame_id=m.kf_frame_id.at[k].set(frame_id),
+        kf_uv=m.kf_uv.at[k].set(frame.uv),
+        kf_level=m.kf_level.at[k].set(frame.level),
+        kf_angle=m.kf_angle.at[k].set(frame.angle),
+        kf_desc=m.kf_desc.at[k].set(frame.desc),
+        kf_kp_valid=m.kf_kp_valid.at[k].set(frame.valid),
+        kf_obs_pt=m.kf_obs_pt.at[k].set(jnp.where(assoc, kp_pt, -1)),
+        n_kf=m.n_kf + 1,
+    )
+    return m, k
+
+
+def _fundamental_12(cam, T1, T2):
+    """F12 with x2^T F12 x1 = 0 for pixel coords (reference
+    LocalMapping::ComputeF12, LocalMapping.cc:536)."""
+    K = jnp.array(cam.K, jnp.float32)
+    T21 = T2 @ geo.se3_inverse(T1)
+    R, t = T21[:3, :3], T21[:3, 3]
+    E = geo.hat(t) @ R
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+def _triangulate_pair(cam, T1, T2, uv1, uv2):
+    K = jnp.array(cam.K, jnp.float32)
+    P1 = _he("ij,jk->ik", K, T1[:3, :])
+    P2 = _he("ij,jk->ik", K, T2[:3, :])
+
+    def rows(P, uv):
+        return jnp.stack([uv[:, 0, None] * P[2] - P[0],
+                          uv[:, 1, None] * P[2] - P[1]], 1)
+
+    A = jnp.concatenate([rows(P1, uv1), rows(P2, uv2)], 1)
+    AtA = _he("nmi,nmj->nij", A, A)
+    _, vecs = jnp.linalg.eigh(AtA)
+    X = vecs[:, :, 0]
+    w = X[:, 3:4]
+    return X[:, :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
+    """Triangulate new landmarks between the new keyframe and its best
+    covisible neighbors (reference LocalMapping::CreateNewMapPoints,
+    LocalMapping.cc:207-453: epipolar-gated descriptor matching, DLT
+    triangulation, parallax/cheirality/reprojection/scale checks)."""
+    cam = cfg.camera
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    sigma2 = jnp.asarray(cfg.extractor.level_sigma2, jnp.float32)
+    covis = ms.covisibility(m)[kf_id]                 # (K,)
+    covis = covis.at[kf_id].set(0)
+    _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
+    nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
+
+    T1 = m.kf_pose[kf_id]
+    uv1 = m.kf_uv[kf_id]
+    lvl1 = m.kf_level[kf_id]
+    free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    C1 = -_he("ji,j->i", T1[:3, :3], T1[:3, 3])
+
+    for j in range(N_TRIANG_NEIGHBORS):
+        k2 = neighbors[j]
+        pair_ok = nb_ok[j] & m.kf_valid[k2]
+        T2 = m.kf_pose[k2]
+        uv2 = m.kf_uv[k2]
+        lvl2 = m.kf_level[k2]
+        free2 = m.kf_kp_valid[k2] & (m.kf_obs_pt[k2] < 0)
+        C2 = -_he("ji,j->i", T2[:3, :3], T2[:3, 3])
+        baseline = jnp.linalg.norm(C2 - C1)
+
+        # median scene depth of neighbor (baseline check, LocalMapping.cc:237)
+        pc2 = geo.transform_points(T2, m.pt_pos)
+        z2v = jnp.where(m.pt_valid, pc2[:, 2], jnp.nan)
+        med_depth = jnp.nanmedian(z2v)
+        pair_ok = pair_ok & (baseline / jnp.maximum(med_depth, 1e-6) > 0.01)
+
+        # epipolar gate: distance of kp2 from line F12 x1
+        F12 = _fundamental_12(cam, T1, T2)
+        ones = jnp.ones((uv1.shape[0], 1), jnp.float32)
+        l2 = jnp.concatenate([uv1, ones], 1) @ F12.T        # (N, 3)
+        p2h = jnp.concatenate([uv2, ones], 1)               # (N, 3)
+        num = (l2 @ p2h.T) ** 2                             # (N, N)
+        den = (l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None] + 1e-12
+        epi_ok = num / den < 3.84 * sigma2[lvl2][None, :]
+
+        mm = matching.match(
+            m.kf_desc[kf_id], free1, m.kf_desc[k2], free2, cfg.matcher,
+            mask=epi_ok, max_dist=cfg.matcher.th_low, mutual=True,
+            angle_q=m.kf_angle[kf_id], angle_t=m.kf_angle[k2])
+
+        idx2 = jnp.maximum(mm.idx, 0)
+        X = _triangulate_pair(cam, T1, T2, uv1, uv2[idx2])
+        # checks (LocalMapping.cc:285-445)
+        pc1 = geo.transform_points(T1, X)
+        pc2 = geo.transform_points(T2, X)
+        z1, z2 = pc1[:, 2], pc2[:, 2]
+
+        def reproj_err(pc, uv_obs):
+            zz = jnp.where(jnp.abs(pc[:, 2]) < 1e-6, 1e-6, pc[:, 2])
+            u = pc[:, 0] / zz * cam.fx + cam.cx
+            v = pc[:, 1] / zz * cam.fy + cam.cy
+            return (u - uv_obs[:, 0]) ** 2 + (v - uv_obs[:, 1]) ** 2
+
+        e1 = reproj_err(pc1, uv1)
+        e2 = reproj_err(pc2, uv2[idx2])
+        r1 = X - C1
+        r2 = X - C2
+        d1 = jnp.linalg.norm(r1, axis=1) + 1e-9
+        d2 = jnp.linalg.norm(r2, axis=1) + 1e-9
+        cos_par = jnp.sum(r1 * r2, 1) / (d1 * d2)
+        ratio_dist = d2 / d1
+        ratio_octave = scales[lvl1] / scales[lvl2[idx2]]
+        scale_ok = (ratio_dist < ratio_octave * 1.5 * cfg.extractor.scale_factor) \
+            & (ratio_dist * 1.5 * cfg.extractor.scale_factor > ratio_octave)
+
+        good = (pair_ok & mm.valid & jnp.all(jnp.isfinite(X), 1)
+                & (z1 > 0) & (z2 > 0)
+                & (cos_par < cfg.mapper.min_parallax_cos)
+                & (e1 < 5.991 * sigma2[lvl1]) & (e2 < 5.991 * sigma2[lvl2[idx2]])
+                & scale_ok)
+
+        # allocate slots n_pt + prefix-sum position
+        P = m.pt_pos.shape[0]
+        pos_in_batch = jnp.cumsum(good.astype(jnp.int32)) - 1
+        slot = m.n_pt + pos_in_batch
+        can = good & (slot < P)
+        slot_safe = jnp.where(can, slot, P)  # dustbin row
+
+        normal = (r1 / d1[:, None] + r2 / d2[:, None])
+        normal = normal / (jnp.linalg.norm(normal, axis=1, keepdims=True) + 1e-9)
+        max_dist = d1 * scales[lvl1]
+
+        def sc(arr, vals, fill_shape=None):
+            pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+            big = jnp.concatenate([arr, pad])
+            big = big.at[slot_safe].set(
+                jnp.where(can.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                          vals, big[slot_safe]))
+            return big[:-1]
+
+        m = m._replace(
+            pt_pos=sc(m.pt_pos, X),
+            pt_valid=sc(m.pt_valid, can),
+            pt_desc=sc(m.pt_desc, m.kf_desc[kf_id]),
+            pt_normal=sc(m.pt_normal, normal),
+            pt_max_dist=sc(m.pt_max_dist, max_dist),
+            pt_ref_kf=sc(m.pt_ref_kf, jnp.full_like(slot, kf_id)),
+            pt_first_kf=sc(m.pt_first_kf, jnp.full_like(slot, m.n_kf)),
+            pt_visible=sc(m.pt_visible, jnp.ones_like(slot)),
+            pt_found=sc(m.pt_found, jnp.ones_like(slot)),
+            n_pt=jnp.minimum(m.n_pt + can.sum(), P),
+        )
+        new_id = jnp.where(can, slot, -1)
+        row1 = jnp.where(can, new_id, m.kf_obs_pt[kf_id])
+        m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(row1))
+        # neighbor association (scatter over matched kp2 indices)
+        row2 = m.kf_obs_pt[k2]
+        tgt = jnp.where(can, idx2, row2.shape[0])
+        row2 = jnp.concatenate([row2, jnp.full(1, -1, jnp.int32)])
+        row2 = row2.at[tgt].set(jnp.where(can, new_id, -1))[:-1]
+        m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k2].set(row2))
+        free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def cull_points(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
+    """Recent-point culling (reference LocalMapping::MapPointCulling,
+    LocalMapping.cc:170-206): drop points with found/visible ratio < 0.25,
+    or too few observations within 2 keyframes of creation."""
+    ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
+        m.pt_visible.astype(jnp.float32), 1.0)
+    obs = ms.point_obs_count(m)
+    age = m.n_kf - m.pt_first_kf
+    bad = (ratio < cfg.mapper.culling_found_ratio) \
+        | ((age >= 2) & (age <= 3) & (obs <= 2))
+    return m._replace(pt_valid=m.pt_valid & ~bad)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
+    """Recompute representative descriptor / normal / scale range from the
+    current observation table (reference MapPoint::ComputeDistinctive-
+    Descriptors :242 + UpdateNormalAndDepth :330, run in batch).
+
+    Descriptor policy: the most recent observation's descriptor (cheap
+    batched approximation of the reference's median-distance medoid).
+    """
+    K, N = m.kf_obs_pt.shape
+    P = m.pt_pos.shape[0]
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    obs_kf, obs_pt, _, obs_level, obs_valid = ms.observation_coo(m)
+
+    centers = ms.kf_centers(m)                    # (K, 3)
+    rays = m.pt_pos[obs_pt] - centers[obs_kf]
+    d = jnp.linalg.norm(rays, axis=1) + 1e-9
+    rays_n = rays / d[:, None]
+    w = obs_valid.astype(jnp.float32)
+    nsum = jnp.zeros((P, 3)).at[obs_pt].add(rays_n * w[:, None])
+    cnt = jnp.zeros(P).at[obs_pt].add(w)
+    normal = nsum / jnp.maximum(cnt[:, None], 1.0)
+    normal = normal / (jnp.linalg.norm(normal, axis=1, keepdims=True) + 1e-9)
+
+    # latest observation -> descriptor + reference depth
+    code = jnp.where(obs_valid, obs_kf * N + (jnp.arange(K * N) % N), -1)
+    best_code = jnp.full(P, -1, jnp.int32).at[obs_pt].max(code)
+    has = best_code >= 0
+    bk = jnp.maximum(best_code, 0) // N
+    bn = jnp.maximum(best_code, 0) % N
+    desc = m.kf_desc[bk, bn]
+    dist_ref = jnp.linalg.norm(m.pt_pos - centers[bk], axis=1)
+    max_dist = dist_ref * scales[m.kf_level[bk, bn]]
+
+    return m._replace(
+        pt_normal=jnp.where(has[:, None], normal, m.pt_normal),
+        pt_desc=jnp.where(has[:, None], desc, m.pt_desc),
+        pt_max_dist=jnp.where(has, max_dist, m.pt_max_dist),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def local_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 6) -> ms.MapState:
+    """Local bundle adjustment around the newest keyframe (reference
+    Optimizer::LocalBundleAdjustment, Optimizer.cc:453): covisible keyframes
+    are free, all others fixed; points seen by the local set are adjusted;
+    outlier observations are detached afterwards."""
+    center = m.n_kf - 1
+    covis = ms.covisibility(m)
+    local = (covis[center] >= cfg.mapper.covis_edge_threshold)
+    local = local.at[center].set(True)
+    local = local & m.kf_valid
+
+    obs_kf, obs_pt, obs_uv, obs_level, obs_valid = ms.observation_coo(m)
+    P = m.pt_pos.shape[0]
+    # points seen from the local window
+    pt_local = jnp.zeros(P, bool).at[obs_pt].max(obs_valid & local[obs_kf])
+    obs_active = obs_valid & pt_local[obs_pt]
+
+    inv_sigma2 = 1.0 / jnp.asarray(cfg.extractor.level_sigma2,
+                                   jnp.float32)[obs_level]
+    prob = ba.BAProblem(
+        poses=m.kf_pose, points=m.pt_pos,
+        obs_kf=obs_kf, obs_pt=obs_pt, obs_uv=obs_uv,
+        obs_w=inv_sigma2, obs_valid=obs_active,
+        kf_fixed=~local | (jnp.arange(local.shape[0]) == 0),
+    )
+    res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
+    # detach outlier observations (Optimizer.cc local BA epilogue)
+    K, N = m.kf_obs_pt.shape
+    outlier = (obs_active & ~res.obs_inlier).reshape(K, N)
+    return m._replace(
+        kf_pose=res.poses, pt_pos=res.points,
+        kf_obs_pt=jnp.where(outlier, -1, m.kf_obs_pt),
+    )

@@ -1,0 +1,135 @@
+"""Functional SoA map state — the TPU replacement of the reference's mutexed
+object graph.
+
+The reference keeps the map as heap objects cross-linked by pointers —
+Map (ORB_SLAM2/src/Map.cc:32-133, std::set<KeyFrame*>/<MapPoint*> under
+mMutexMap), KeyFrame covisibility lists (KeyFrame.cc:123-430), MapPoint
+observation maps (MapPoint.cc:98-144) — guarded by ~10 mutex classes
+(SURVEY.md section 5.2).  Here the entire map is a pytree of fixed-capacity
+arrays with validity masks; every pipeline stage is a pure function
+MapState -> MapState, which dissolves the whole locking design.
+
+Slot allocation is append-only via n_kf / n_pt counters; culling clears
+validity bits but does not recycle slots (capacity is sized for the target
+sequences; compaction can be added as a host-side repack).
+
+Keypoint-to-point association is the (K, N) `kf_obs_pt` table (-1 = none) —
+the inverse of the reference's per-MapPoint observation maps.  Covisibility
+weights are *derived* on demand as a (K, K) shared-point count matmul
+(models/covisibility.py) instead of being incrementally maintained.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SystemConfig
+
+
+class MapState(NamedTuple):
+    # --- keyframes (capacity K, keypoint capacity N) ---
+    kf_pose: jnp.ndarray      # (K, 4, 4) f32, Tcw
+    kf_valid: jnp.ndarray     # (K,) bool
+    kf_frame_id: jnp.ndarray  # (K,) i32
+    kf_uv: jnp.ndarray        # (K, N, 2) f32 undistorted keypoint coords
+    kf_level: jnp.ndarray     # (K, N) i32
+    kf_angle: jnp.ndarray     # (K, N) f32
+    kf_desc: jnp.ndarray      # (K, N, 8) u32
+    kf_kp_valid: jnp.ndarray  # (K, N) bool
+    kf_obs_pt: jnp.ndarray    # (K, N) i32 — map-point id per keypoint, -1 none
+    # --- map points (capacity P) ---
+    pt_pos: jnp.ndarray       # (P, 3) f32 world
+    pt_valid: jnp.ndarray     # (P,) bool
+    pt_desc: jnp.ndarray      # (P, 8) u32 representative descriptor
+    pt_normal: jnp.ndarray    # (P, 3) f32 mean viewing direction
+    pt_max_dist: jnp.ndarray  # (P,) f32 scale-invariance range
+    pt_ref_kf: jnp.ndarray    # (P,) i32 creating keyframe
+    pt_first_kf: jnp.ndarray  # (P,) i32 (for recent-point culling)
+    pt_visible: jnp.ndarray   # (P,) i32 frustum-visible count
+    pt_found: jnp.ndarray     # (P,) i32 matched-by-tracking count
+    # --- counters ---
+    n_kf: jnp.ndarray         # () i32 next free keyframe slot
+    n_pt: jnp.ndarray         # () i32 next free point slot
+
+
+def empty_map(cfg: SystemConfig) -> MapState:
+    K = cfg.mapper.max_keyframes
+    N = cfg.extractor.max_keypoints
+    P = cfg.mapper.max_points
+    f32, i32 = jnp.float32, jnp.int32
+    return MapState(
+        kf_pose=jnp.tile(jnp.eye(4, dtype=f32), (K, 1, 1)),
+        kf_valid=jnp.zeros(K, bool),
+        kf_frame_id=jnp.full(K, -1, i32),
+        kf_uv=jnp.zeros((K, N, 2), f32),
+        kf_level=jnp.zeros((K, N), i32),
+        kf_angle=jnp.zeros((K, N), f32),
+        kf_desc=jnp.zeros((K, N, 8), jnp.uint32),
+        kf_kp_valid=jnp.zeros((K, N), bool),
+        kf_obs_pt=jnp.full((K, N), -1, i32),
+        pt_pos=jnp.zeros((P, 3), f32),
+        pt_valid=jnp.zeros(P, bool),
+        pt_desc=jnp.zeros((P, 8), jnp.uint32),
+        pt_normal=jnp.zeros((P, 3), f32),
+        pt_max_dist=jnp.zeros(P, f32),
+        pt_ref_kf=jnp.full(P, -1, i32),
+        pt_first_kf=jnp.full(P, -1, i32),
+        pt_visible=jnp.zeros(P, i32),
+        pt_found=jnp.zeros(P, i32),
+        n_kf=jnp.asarray(0, i32),
+        n_pt=jnp.asarray(0, i32),
+    )
+
+
+def kf_centers(m: MapState) -> jnp.ndarray:
+    """(K, 3) camera centers C = -R^T t."""
+    R = m.kf_pose[:, :3, :3]
+    t = m.kf_pose[:, :3, 3]
+    return -jnp.einsum("kji,kj->ki", R, t)
+
+
+def observation_coo(m: MapState):
+    """Flatten the (K, N) association table into BA-ready COO arrays.
+
+    Returns (obs_kf, obs_pt, obs_uv, obs_level, obs_valid) with O = K*N.
+    """
+    K, N = m.kf_obs_pt.shape
+    obs_kf = jnp.repeat(jnp.arange(K, dtype=jnp.int32), N)
+    obs_pt = m.kf_obs_pt.reshape(-1)
+    obs_uv = m.kf_uv.reshape(-1, 2)
+    obs_level = m.kf_level.reshape(-1)
+    obs_valid = (m.kf_valid[:, None] & m.kf_kp_valid
+                 & (m.kf_obs_pt >= 0)).reshape(-1)
+    safe_pt = jnp.maximum(obs_pt, 0)
+    obs_valid = obs_valid & m.pt_valid[safe_pt]
+    return obs_kf, safe_pt, obs_uv, obs_level, obs_valid
+
+
+def covisibility(m: MapState) -> jnp.ndarray:
+    """(K, K) shared-map-point counts (the covisibility weights of reference
+    KeyFrame::UpdateConnections, KeyFrame.cc:289-340) as one matmul.
+
+    Builds the (K, P) observation indicator and contracts over points.
+    Diagonal is zeroed.
+    """
+    K, N = m.kf_obs_pt.shape
+    P = m.pt_pos.shape[0]
+    ok = m.kf_kp_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None]
+    pt = jnp.maximum(m.kf_obs_pt, 0)
+    ok = ok & m.pt_valid[pt]
+    ind = jnp.zeros((K, P), jnp.float32)
+    ind = ind.at[jnp.repeat(jnp.arange(K), N), pt.reshape(-1)].max(
+        ok.reshape(-1).astype(jnp.float32))
+    w = jnp.dot(ind, ind.T, preferred_element_type=jnp.float32)
+    return (w - jnp.diag(jnp.diag(w))).astype(jnp.int32)
+
+
+def point_obs_count(m: MapState) -> jnp.ndarray:
+    """(P,) number of keyframes observing each point."""
+    P = m.pt_pos.shape[0]
+    ok = m.kf_kp_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None]
+    pt = jnp.maximum(m.kf_obs_pt, 0).reshape(-1)
+    return jnp.zeros(P, jnp.int32).at[pt].add(ok.reshape(-1).astype(jnp.int32))

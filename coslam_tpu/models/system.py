@@ -1,0 +1,266 @@
+"""System facade + per-frame orchestration.
+
+The analogue of reference System (ORB_SLAM2/src/System.cc) and the
+control-flow parts of Tracking::Track (Tracking.cc:267-563).  Where the
+reference runs 4 threads over a mutexed map (System.cc:92-102), this driver
+is single host thread calling jitted stages in sequence per frame:
+
+    build_frame -> [initialize | track_motion_model -> track_local_map]
+                -> (keyframe?) insert -> triangulate -> refresh -> local BA
+                -> cull
+
+Host logic only branches on small scalars pulled from device (state machine,
+keyframe decision), matching the reference's semantics:
+NOT_INITIALIZED/OK/LOST states (Tracking.h:85-91), constant-velocity motion
+model, NeedNewKeyFrame-style gating (Tracking.cc:979).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SystemConfig
+from coslam_tpu.models import local_mapping as lm
+from coslam_tpu.models import map_state as ms
+from coslam_tpu.models import tracking
+from coslam_tpu.models.frame import Frame, build_frame
+from coslam_tpu.ops import matching, twoview
+from coslam_tpu.optim import ba
+from coslam_tpu.utils import geometry as geo
+
+_he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _match_for_init(cfg: SystemConfig, f0: Frame, f1: Frame):
+    """SearchForInitialization (reference ORBmatcher.cc:405): window 100,
+    ratio 0.9, mutual, rotation consistency, level-0 only is relaxed to all
+    levels here."""
+    mask = matching.window_mask(f0.uv, f1.uv, 100.0)
+    mm = matching.match(f0.desc, f0.valid, f1.desc, f1.valid, cfg.matcher,
+                        mask=mask, max_dist=cfg.matcher.th_low,
+                        ratio=0.9, mutual=True,
+                        angle_q=f0.angle, angle_t=f1.angle)
+    return mm
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _initial_map(cfg: SystemConfig, m: ms.MapState, f0: Frame, f1: Frame,
+                 fid0, fid1, T21, pts3d, match_idx, inlier):
+    """CreateInitialMapMonocular (reference Tracking.cc:639-757): two
+    keyframes, triangulated points, median-depth scale normalization."""
+    N = f0.uv.shape[0]
+    # median-depth normalization (Tracking.cc:691-714)
+    z = pts3d[:, 2]
+    med = jnp.nanmedian(jnp.where(inlier, z, jnp.nan))
+    scale = 1.0 / jnp.maximum(med, 1e-6)
+    T21 = T21.at[:3, 3].set(T21[:3, 3] * scale)
+    pts3d = pts3d * scale
+
+    m, k0 = lm.insert_keyframe(cfg, m, f0, jnp.eye(4), fid0,
+                               jnp.full(N, -1, jnp.int32))
+    m, k1 = lm.insert_keyframe(cfg, m, f1, T21, fid1,
+                               jnp.full(N, -1, jnp.int32))
+
+    pos = jnp.cumsum(inlier.astype(jnp.int32)) - 1
+    P = m.pt_pos.shape[0]
+    slot = jnp.where(inlier, pos, P)
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+
+    C1 = -_he("ji,j->i", T21[:3, :3], T21[:3, 3])
+    r0 = pts3d
+    r1 = pts3d - C1
+    d0 = jnp.linalg.norm(r0, axis=1) + 1e-9
+    normal = r0 / d0[:, None]
+    max_dist = d0 * scales[f0.level]
+
+    def sc(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        big = jnp.concatenate([arr, pad])
+        return big.at[slot].set(
+            jnp.where(inlier.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                      vals, big[slot]))[:-1]
+
+    n_new = inlier.sum()
+    m = m._replace(
+        pt_pos=sc(m.pt_pos, pts3d),
+        pt_valid=sc(m.pt_valid, inlier),
+        pt_desc=sc(m.pt_desc, f0.desc),
+        pt_normal=sc(m.pt_normal, normal),
+        pt_max_dist=sc(m.pt_max_dist, max_dist),
+        pt_ref_kf=sc(m.pt_ref_kf, jnp.zeros(N, jnp.int32)),
+        pt_first_kf=sc(m.pt_first_kf, jnp.zeros(N, jnp.int32)),
+        pt_visible=sc(m.pt_visible, jnp.ones(N, jnp.int32)),
+        pt_found=sc(m.pt_found, jnp.ones(N, jnp.int32)),
+        n_pt=n_new,
+    )
+    # associations: kp i of f0 -> slot; kp match_idx[i] of f1 -> slot
+    new_id = jnp.where(inlier, slot, -1).astype(jnp.int32)
+    m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k0].set(new_id))
+    row1 = jnp.full(N + 1, -1, jnp.int32)
+    tgt = jnp.where(inlier, jnp.maximum(match_idx, 0), N)
+    row1 = row1.at[tgt].set(jnp.where(inlier, new_id, -1))[:-1]
+    m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k1].set(row1))
+    return m, row1, n_new
+
+
+class System:
+    """Monocular SLAM engine instance (reference System ctor System.cc:32 +
+    TrackMonocular :219)."""
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        self.map = ms.empty_map(cfg)
+        self.state = "NOT_INITIALIZED"
+        self.ref_frame: Optional[Frame] = None
+        self.ref_frame_id = -1
+        self.last_T = np.eye(4, dtype=np.float32)
+        self.velocity: Optional[np.ndarray] = None
+        self.last_kp_pt = None
+        self.last_level = None
+        self.frames_since_kf = 0
+        self.ref_kf_matches = 0
+        self.trajectory: List[Tuple[int, np.ndarray]] = []
+        self.stats: List[dict] = []
+        self._init_key = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    def track_mono(self, img: np.ndarray, frame_id: int) -> Optional[np.ndarray]:
+        frame = build_frame(jnp.asarray(img), self.cfg)
+        if self.state == "NOT_INITIALIZED":
+            self._try_initialize(frame, frame_id)
+            T = self.last_T if self.state == "OK" else None
+        else:
+            T = self._track(frame, frame_id)
+        if T is not None:
+            self.trajectory.append((frame_id, np.asarray(T)))
+        return T
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, frame: Frame, frame_id: int):
+        tr = self.cfg.tracker
+        n_kp = int(frame.valid.sum())
+        if self.ref_frame is None:
+            if n_kp > tr.init_min_keypoints:
+                self.ref_frame = frame
+                self.ref_frame_id = frame_id
+            return
+        mm = _match_for_init(self.cfg, self.ref_frame, frame)
+        n_matches = int(mm.valid.sum())
+        if n_matches < tr.init_min_matches:
+            # too weak — restart from this frame (Tracking.cc:590-600)
+            self.ref_frame = frame if n_kp > tr.init_min_keypoints else None
+            self.ref_frame_id = frame_id
+            return
+        uv2 = frame.uv[jnp.maximum(mm.idx, 0)]
+        self._init_key, sub = jax.random.split(self._init_key)
+        res = twoview.initialize(
+            self.cfg.camera, self.ref_frame.uv, uv2, mm.valid, sub,
+            tr.ransac_iters, tr.ransac_sigma)
+        if not bool(res.success):
+            return
+        m, kp_pt1, n_pts = _initial_map(
+            self.cfg, self.map, self.ref_frame, frame,
+            self.ref_frame_id, frame_id, res.T21, res.points3d,
+            mm.idx, res.is_inlier & mm.valid)
+        # global BA on the initial structure (Tracking.cc:688: 20 iters)
+        m = lm.local_ba(self.cfg, m, iters=8)
+        m = lm.refresh_point_geometry(self.cfg, m)
+        self.map = m
+        self.state = "OK"
+        self.last_T = np.asarray(m.kf_pose[1])
+        self.last_kp_pt = m.kf_obs_pt[1]
+        self.last_level = frame.level
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.ref_kf_matches = int(n_pts)
+        # also log the two keyframe poses
+        self.trajectory.append((self.ref_frame_id, np.eye(4, dtype=np.float32)))
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame, frame_id: int) -> Optional[np.ndarray]:
+        tr = self.cfg.tracker
+        T_pred = jnp.asarray(
+            self.velocity @ self.last_T if self.velocity is not None
+            else self.last_T)
+
+        radius = 15.0 if self.velocity is not None else 30.0
+        res = tracking.track_motion_model(
+            self.cfg, self.map, frame, self.last_kp_pt, self.last_level,
+            T_pred, radius)
+        if int(res.n_inliers) < tr.min_matches_motion:
+            res = tracking.track_motion_model(
+                self.cfg, self.map, frame, self.last_kp_pt, self.last_level,
+                T_pred, 2.0 * radius)
+
+        res2, self.map = tracking.track_local_map(
+            self.cfg, self.map, frame, res.T, res.kp_pt)
+        n_inl = int(res2.n_inliers)
+        if n_inl < 10:
+            # lost: keep constant-velocity dead reckoning (reference would
+            # relocalize; BoW relocalization comes with the place-recognition
+            # stage)
+            self.state = "LOST"
+            T_np = np.asarray(T_pred)
+            self.velocity = None
+            self.last_T = T_np
+            self.last_kp_pt = jnp.full_like(self.last_kp_pt, -1)
+            self.stats.append({"frame": frame_id, "inliers": 0, "lost": True})
+            return T_np
+
+        self.state = "OK"
+        T_np = np.asarray(res2.T)
+        self.velocity = T_np @ np.linalg.inv(self.last_T)
+        self.last_T = T_np
+        self.last_kp_pt = res2.kp_pt
+        self.last_level = frame.level
+        self.frames_since_kf += 1
+        self.stats.append({"frame": frame_id, "inliers": n_inl, "lost": False})
+
+        if self._need_keyframe(n_inl):
+            self._insert_keyframe(frame, frame_id, res2)
+        return T_np
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, n_inliers: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:979-1063) distilled: enough frames
+        passed, or tracking decayed below ref_ratio of the reference KF."""
+        tr = self.cfg.tracker
+        K = self.cfg.mapper.max_keyframes
+        if int(self.map.n_kf) >= K:
+            return False
+        c1a = self.frames_since_kf >= tr.max_frames
+        c1c = n_inliers < self.ref_kf_matches * 0.25
+        c2 = (n_inliers < self.ref_kf_matches * tr.ref_ratio_mono
+              and n_inliers > 15)
+        return bool((c1a or c1c) and n_inliers > 15) or bool(c2 and self.frames_since_kf >= 1)
+
+    def _insert_keyframe(self, frame: Frame, frame_id: int,
+                         res: tracking.TrackResult):
+        cfg = self.cfg
+        m, k = lm.insert_keyframe(cfg, self.map, frame,
+                                  jnp.asarray(self.last_T), frame_id,
+                                  res.kp_pt)
+        m = lm.create_map_points(cfg, m, k)
+        m = lm.refresh_point_geometry(cfg, m)
+        m = lm.local_ba(cfg, m)
+        m = lm.cull_points(cfg, m)
+        m = lm.refresh_point_geometry(cfg, m)
+        self.map = m
+        # tracking references the (possibly BA-shifted) new KF pose
+        self.last_T = np.asarray(m.kf_pose[k])
+        self.last_kp_pt = m.kf_obs_pt[k]
+        self.frames_since_kf = 0
+        self.ref_kf_matches = int((m.kf_obs_pt[k] >= 0).sum())
+        self.stats[-1]["keyframe"] = True
+
+    # ------------------------------------------------------------------
+    def trajectory_poses(self):
+        """(frame ids, (F, 4, 4) Tcw array) for evaluation/export."""
+        ids = [fid for fid, _ in self.trajectory]
+        return ids, np.stack([T for _, T in self.trajectory])

@@ -1,0 +1,154 @@
+"""Per-frame tracking stages (jitted).
+
+TPU reformulation of the reference Tracking thread's hot path
+(ORB_SLAM2/src/Tracking.cc): TrackWithMotionModel (:869), SearchLocalPoints/
+TrackLocalMap (:932-1205) and their pose optimizations.  Each stage is one
+jitted function over fixed-capacity arrays; the Python System driver
+(models/system.py) owns the NOT_INITIALIZED/OK/LOST state machine, which is
+pure host control flow on scalars.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from coslam_tpu.config import SystemConfig
+from coslam_tpu.models.frame import Frame
+from coslam_tpu.models.map_state import MapState
+from coslam_tpu.ops import matching
+from coslam_tpu.optim import pose_opt
+from coslam_tpu.utils import geometry as geo
+
+_he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+class TrackResult(NamedTuple):
+    T: jnp.ndarray           # (4, 4) optimized Tcw
+    kp_pt: jnp.ndarray       # (N,) i32 map-point id per frame keypoint (-1)
+    n_matches: jnp.ndarray   # () i32 associations before optimization
+    n_inliers: jnp.ndarray   # () i32 pose-opt inliers
+
+
+def _project_points(cam, T, X):
+    pc = geo.transform_points(T, X)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = pc[:, 0] / zs * cam.fx + cam.cx
+    v = pc[:, 1] / zs * cam.fy + cam.cy
+    return jnp.stack([u, v], 1), z
+
+
+def _scatter_assoc(n_slots, m: matching.Matches, pt_ids):
+    """Invert query->target matches into target-slot -> point-id."""
+    kp_pt = jnp.full(n_slots, -1, jnp.int32)
+    tgt = jnp.where(m.valid, m.idx, n_slots)  # overflow row = dustbin
+    kp_pt = jnp.concatenate([kp_pt, jnp.full(1, -1, jnp.int32)])
+    kp_pt = kp_pt.at[tgt].set(jnp.where(m.valid, pt_ids, -1))
+    return kp_pt[:n_slots]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def track_motion_model(cfg: SystemConfig, m: MapState, frame: Frame,
+                       last_kp_pt, last_level, T_pred,
+                       radius: float = 15.0) -> TrackResult:
+    """Reference TrackWithMotionModel (Tracking.cc:869): project the
+    previous frame's associated map points with the constant-velocity pose
+    prediction and match into the current frame within a scale-dependent
+    window; then motion-only BA."""
+    cam = cfg.camera
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+
+    q_pt = last_kp_pt                                     # (N,) point per last-frame kp
+    q_ok = (q_pt >= 0)
+    q_pt_safe = jnp.maximum(q_pt, 0)
+    q_ok = q_ok & m.pt_valid[q_pt_safe]
+    X = m.pt_pos[q_pt_safe]                               # (N, 3)
+    uv_pred, z = _project_points(cam, T_pred, X)
+    q_ok = q_ok & (z > 0.1)
+
+    r = radius * scales[jnp.clip(last_level, 0, scales.shape[0] - 1)]
+    mask = matching.window_mask(uv_pred, frame.uv, r)
+    mask = mask & matching.level_mask(last_level, frame.level, -1, 1)
+    q_desc = m.pt_desc[q_pt_safe]
+    mm = matching.match(q_desc, q_ok, frame.desc, frame.valid, cfg.matcher,
+                        mask=mask, max_dist=cfg.matcher.th_high, mutual=True)
+    kp_pt = _scatter_assoc(frame.uv.shape[0], mm, q_pt)
+    n_matches = (kp_pt >= 0).sum()
+
+    ok = kp_pt >= 0
+    Xf = m.pt_pos[jnp.maximum(kp_pt, 0)]
+    res = pose_opt.optimize_pose(cam, T_pred, Xf, frame.uv, ok,
+                                 frame.inv_sigma2, cfg.tracker)
+    kp_pt = jnp.where(res.inliers, kp_pt, -1)
+    return TrackResult(T=res.T, kp_pt=kp_pt, n_matches=n_matches,
+                       n_inliers=res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def track_local_map(cfg: SystemConfig, m: MapState, frame: Frame,
+                    T_init, kp_pt_init) -> TrackResult:
+    """Reference TrackLocalMap (Tracking.cc:932): project *all* valid map
+    points, gate by frustum / distance range / viewing angle, match
+    unassociated keypoints, then a final motion-only BA over the union of
+    associations.
+
+    The reference restricts to points of covisible keyframes; with masked
+    whole-map projection the restriction is unnecessary — the frustum and
+    scale gates do the same pruning in one shot.
+    """
+    cam = cfg.camera
+    scale_f = cfg.extractor.scale_factor
+    n_levels = cfg.extractor.n_levels
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+
+    uv_pred, z = _project_points(cam, T_init, m.pt_pos)
+    C = -_he("ji,j->i", T_init[:3, :3], T_init[:3, 3])
+    rays = m.pt_pos - C
+    dist = jnp.linalg.norm(rays, axis=1) + 1e-9
+    # frustum + scale-range + viewing-direction gates (Frame::isInFrustum,
+    # Frame.cc:270-327: 0.8/1.2 distance band, cos > 0.5)
+    min_dist = m.pt_max_dist / (scale_f ** (n_levels - 1))
+    view_cos = jnp.sum(rays * m.pt_normal, 1) / dist
+    visible = (m.pt_valid & (z > 0.1)
+               & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cam.width)
+               & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cam.height)
+               & (dist >= 0.8 * min_dist) & (dist <= 1.2 * m.pt_max_dist * 1.25)
+               & (view_cos > 0.5))
+
+    # predicted octave from distance (MapPoint::PredictScale, MapPoint.cc:385)
+    ratio = jnp.maximum(m.pt_max_dist / dist, 1e-6)
+    pred_level = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(scale_f)),
+                          0, n_levels - 1).astype(jnp.int32)
+    r = 4.0 * scales[pred_level]
+    mask = matching.window_mask(uv_pred, frame.uv, r)
+    lt = frame.level[None, :]
+    mask = mask & (lt >= pred_level[:, None] - 1) & (lt <= pred_level[:, None] + 1)
+    # don't re-match keypoints already associated by motion tracking
+    free_kp = frame.valid & (kp_pt_init < 0)
+    mm = matching.match(m.pt_desc, visible, frame.desc, free_kp, cfg.matcher,
+                        mask=mask, max_dist=cfg.matcher.th_high,
+                        ratio=0.8, mutual=True)
+    P = m.pt_pos.shape[0]
+    new_assoc = _scatter_assoc(frame.uv.shape[0], mm,
+                               jnp.arange(P, dtype=jnp.int32))
+    kp_pt = jnp.where(kp_pt_init >= 0, kp_pt_init, new_assoc)
+
+    ok = kp_pt >= 0
+    Xf = m.pt_pos[jnp.maximum(kp_pt, 0)]
+    res = pose_opt.optimize_pose(cam, T_init, Xf, frame.uv, ok,
+                                 frame.inv_sigma2, cfg.tracker)
+    kp_pt = jnp.where(res.inliers, kp_pt, -1)
+
+    # visibility / found statistics for culling (MapPoint mnVisible/mnFound)
+    pt_visible = m.pt_visible + visible.astype(jnp.int32)
+    found = jnp.zeros(P, jnp.int32).at[jnp.maximum(kp_pt, 0)].add(
+        (kp_pt >= 0).astype(jnp.int32))
+    pt_found = m.pt_found + found
+    m = m._replace(pt_visible=pt_visible, pt_found=pt_found)
+    return TrackResult(T=res.T, kp_pt=kp_pt,
+                       n_matches=(kp_pt >= 0).sum(),
+                       n_inliers=res.n_inliers), m
