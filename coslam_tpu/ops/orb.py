@@ -141,7 +141,110 @@ def _select_level_keypoints(score, budget: int, cell: int, min_th: float):
 
 
 # ---------------------------------------------------------------------------
-# Descriptor sampling
+# Patch-based descriptor pipeline (the fast path)
+#
+# Random-index gathers are the one thing TPUs do badly: the original
+# formulation (one gather per BRIEF sample, ~512k scalar gathers per frame)
+# measured ~60 ms/frame on a v5e chip.  The redesign turns everything after
+# keypoint selection into MXU matmuls:
+#
+#   1. one 39x39 raw patch per keypoint via vmapped dynamic_slice
+#      (contiguous block loads, not scalar gathers),
+#   2. IC orientation  = patch @ W_moment            (1521 -> 2),
+#   3. Gaussian blur   = patch @ W_blur              (1521 -> 33*33),
+#   4. rBRIEF          = sign(blurred @ W_bits)      (1089 -> 30*256),
+#      where W_bits[:, bin*256+k] = onehot(p_a) - onehot(p_b) for the bit-k
+#      sample pair rotated by bin (angle quantized to 30 bins of 12 deg, the
+#      same resolution as the reference's rotation histograms), and
+#   5. per-keypoint bin selection is a tiny (N, 8)-element gather.
+# ---------------------------------------------------------------------------
+
+N_ROT_BINS = 30
+RAW_PATCH = 39   # radius 19 = cfg.edge_threshold margin
+BLUR_PATCH = 33  # central region with valid 7x7 blur support
+
+
+@functools.lru_cache(maxsize=1)
+def _patch_matrices():
+    """Constant weight matrices of the patch pipeline (host-built once)."""
+    rp, bp = RAW_PATCH, BLUR_PATCH
+    rr, br = rp // 2, bp // 2
+
+    # moments: central 31x31 circular mask of the raw patch
+    ys, xs = np.mgrid[-rr:rr + 1, -rr:rr + 1]
+    circ = ((xs ** 2 + ys ** 2) <= PATCH_RADIUS ** 2).astype(np.float32)
+    w_moment = np.stack([(xs * circ).reshape(-1),
+                         (ys * circ).reshape(-1)], 1)            # (1521, 2)
+
+    # separable 7x7 sigma=2 blur: raw (39x39) -> central (33x33)
+    g = np.exp(-0.5 * (np.arange(-3, 4) / 2.0) ** 2)
+    g /= g.sum()
+    k2 = np.outer(g, g)                                          # (7, 7)
+    w_blur = np.zeros((rp * rp, bp * bp), np.float32)
+    for oy in range(bp):
+        for ox in range(bp):
+            cy, cx = oy + (rr - br), ox + (rr - br)
+            for dy in range(-3, 4):
+                for dx in range(-3, 4):
+                    w_blur[(cy + dy) * rp + (cx + dx), oy * bp + ox] += \
+                        k2[dy + 3, dx + 3]
+
+    # rotated BRIEF sample-difference matrix per rotation bin
+    pat = brief_pattern()                                        # (256, 2, 2)
+    w_bits = np.zeros((bp * bp, N_ROT_BINS * N_BITS), np.float32)
+    for b in range(N_ROT_BINS):
+        th = 2.0 * np.pi * b / N_ROT_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        rx = np.round(pat[..., 0] * ca - pat[..., 1] * sa).astype(int) + br
+        ry = np.round(pat[..., 0] * sa + pat[..., 1] * ca).astype(int) + br
+        flat = ry * bp + rx                                      # (256, 2)
+        for k in range(N_BITS):
+            col = b * N_BITS + k
+            w_bits[flat[k, 1], col] += 1.0   # +I(p_b)
+            w_bits[flat[k, 0], col] -= 1.0   # -I(p_a);  bit = I(a) < I(b)
+    return w_moment, w_blur, w_bits
+
+
+def extract_patches(img, yx, patch: int = RAW_PATCH):
+    """(H, W) image + (K, 2) int yx centers -> (K, patch*patch) float32.
+
+    Contiguous dynamic-slice loads; centers are clamped so the patch stays
+    in bounds (selection already enforces an edge_threshold margin)."""
+    half = patch // 2
+    h, w = img.shape
+    y0 = jnp.clip(yx[:, 0] - half, 0, h - patch)
+    x0 = jnp.clip(yx[:, 1] - half, 0, w - patch)
+
+    def one(y, x):
+        return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
+
+    return jax.vmap(one)(y0, x0).reshape(yx.shape[0], -1)
+
+
+def _descriptors_from_patches(patches, valid):
+    """(K, 1521) raw patches -> (angle (K,), packed desc (K, 8) uint32)."""
+    w_moment, w_blur, w_bits = (jnp.asarray(m) for m in _patch_matrices())
+    mom = jnp.dot(patches, w_moment, preferred_element_type=jnp.float32)
+    angle = jnp.arctan2(mom[:, 1], mom[:, 0])
+
+    blurred = jnp.dot(patches, w_blur, preferred_element_type=jnp.float32)
+    diffs = jnp.dot(blurred, w_bits, preferred_element_type=jnp.float32)
+    bits_all = (diffs > 0).reshape(-1, N_ROT_BINS, DESC_WORDS, 32)
+
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    words_all = (bits_all.astype(jnp.uint32) << shifts).sum(
+        axis=-1, dtype=jnp.uint32)                  # (K, BINS, 8)
+    tau = 2.0 * jnp.pi
+    bin_f = jnp.round(jnp.where(angle < 0, angle + tau, angle)
+                      * (N_ROT_BINS / tau))
+    bin_i = jnp.mod(bin_f.astype(jnp.int32), N_ROT_BINS)
+    words = jnp.take_along_axis(words_all, bin_i[:, None, None], axis=1)[:, 0]
+    return angle, jnp.where(valid[:, None], words, 0)
+
+
+# ---------------------------------------------------------------------------
+# Reference (gather-based) descriptor sampling — kept as the oracle for
+# tests; not used on the hot path.
 # ---------------------------------------------------------------------------
 
 def _descriptors_at(img_blur, yx, angle, valid):
@@ -208,12 +311,8 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig) -> Dict[str, jnp.ndarray]:
         yx, resp, ok = _select_level_keypoints(
             score, budget, cfg.cell_size, float(cfg.fast_min_threshold))
 
-        m10, m01 = moment_maps(img_l)
-        flat_idx = yx[:, 0] * w + yx[:, 1]
-        ang = jnp.arctan2(m01.reshape(-1)[flat_idx], m10.reshape(-1)[flat_idx])
-
-        img_blur = pyr_ops.gaussian_blur(img_l)
-        d = _descriptors_at(img_blur, yx, ang, ok)
+        patches = extract_patches(img_l, yx)
+        ang, d = _descriptors_from_patches(patches, ok)
 
         scale = cfg.scale_factor ** lvl
         sl = slice(offset, offset + budget)

@@ -115,8 +115,14 @@ def _inv3(M):
     return inv / det[..., None, None]
 
 
-def _seg_sum(x, idx, n):
-    return jnp.zeros((n,) + x.shape[1:], x.dtype).at[idx].add(x)
+def _seg_sum(x, idx, n, axis_name=None):
+    """Segment sum; with `axis_name` the local partial sums are all-reduced
+    over the mesh axis — the one-line change that makes the whole solver
+    observation-sharded (parallel/sharded_ba.py)."""
+    out = jnp.zeros((n,) + x.shape[1:], x.dtype).at[idx].add(x)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
@@ -125,6 +131,16 @@ def solve(cam: CameraConfig, prob: BAProblem, iters: int = 10,
           robust: bool = True) -> BAResult:
     """Run `iters` LM steps.  Shapes are static; cost of one step is
     O(observations) + PCG matvecs."""
+    return solve_body(cam, prob, iters, pcg_iters, chi2_th, robust, None)
+
+
+def solve_body(cam: CameraConfig, prob: BAProblem, iters: int,
+               pcg_iters: int, chi2_th: float, robust: bool,
+               axis_name) -> BAResult:
+    """Solver body, callable from inside shard_map with observations sharded
+    along `axis_name` (poses/points replicated).  All cross-observation
+    reductions go through _seg_sum/psum, so every shard computes identical
+    replicated pose/point updates."""
     K = prob.poses.shape[0]
     P = prob.points.shape[0]
     delta2 = chi2_th
@@ -134,7 +150,10 @@ def solve(cam: CameraConfig, prob: BAProblem, iters: int = 10,
         r, _, _, behind = _proj_residuals(cam, poses, points, prob)
         chi2 = jnp.sum(r * r, 1) * prob.obs_w
         ok = prob.obs_valid & ~behind
-        return jnp.where(ok, _robust_cost(chi2, delta2, rob), 0.0).sum()
+        c = jnp.where(ok, _robust_cost(chi2, delta2, rob), 0.0).sum()
+        if axis_name is not None:
+            c = jax.lax.psum(c, axis_name)
+        return c
 
     def lm_step(carry, _):
         poses, points, lam = carry
@@ -146,10 +165,10 @@ def solve(cam: CameraConfig, prob: BAProblem, iters: int = 10,
         Jcw = Jc * w[:, None, None]
         Jpw = Jp * w[:, None, None]
         # diagonal blocks
-        Hcc = _seg_sum(_he("oij,oik->ojk", Jcw, Jc), prob.obs_kf, K)  # (K,6,6)
-        Hpp = _seg_sum(_he("oij,oik->ojk", Jpw, Jp), prob.obs_pt, P)  # (P,3,3)
-        bc = _seg_sum(_he("oij,oi->oj", Jcw, r), prob.obs_kf, K)      # (K,6)
-        bp = _seg_sum(_he("oij,oi->oj", Jpw, r), prob.obs_pt, P)      # (P,3)
+        Hcc = _seg_sum(_he("oij,oik->ojk", Jcw, Jc), prob.obs_kf, K, axis_name)  # (K,6,6)
+        Hpp = _seg_sum(_he("oij,oik->ojk", Jpw, Jp), prob.obs_pt, P, axis_name)  # (P,3,3)
+        bc = _seg_sum(_he("oij,oi->oj", Jcw, r), prob.obs_kf, K, axis_name)      # (K,6)
+        bp = _seg_sum(_he("oij,oi->oj", Jpw, r), prob.obs_pt, P, axis_name)      # (P,3)
 
         lamc = lam * jnp.maximum(
             jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)                # (K,6)
@@ -161,18 +180,18 @@ def solve(cam: CameraConfig, prob: BAProblem, iters: int = 10,
         def Yt_x(x):
             """Y^T x aggregated per point: (K,6) -> (P,3)."""
             u = _he("oij,oj->oi", Jc, x[prob.obs_kf])      # (O, 2)
-            return _seg_sum(_he("oij,oi->oj", Jpw, u), prob.obs_pt, P)
+            return _seg_sum(_he("oij,oi->oj", Jpw, u), prob.obs_pt, P, axis_name)
 
         def Y_y(y):
             """Y y aggregated per camera: (P,3) -> (K,6)."""
             v = _he("oij,oj->oi", Jp, y[prob.obs_pt])      # (O, 2)
-            return _seg_sum(_he("oij,oi->oj", Jcw, v), prob.obs_kf, K)
+            return _seg_sum(_he("oij,oi->oj", Jcw, v), prob.obs_kf, K, axis_name)
 
         def S_mv(x):
             x = jnp.where(free[:, None], x, 0.0)
             u = _he("oij,oj->oi", Jc, x[prob.obs_kf])
-            hcc_x = _seg_sum(_he("oij,oi->oj", Jcw, u), prob.obs_kf, K) \
-                + lamc * x
+            hcc_x = _seg_sum(_he("oij,oi->oj", Jcw, u), prob.obs_kf, K,
+                             axis_name) + lamc * x
             s = hcc_x - Y_y(_he("pij,pj->pi", Hpp_inv, Yt_x(x)))
             return jnp.where(free[:, None], s, 0.0)
 

@@ -1,0 +1,38 @@
+"""Distributed BA must agree with the single-device solver (8-device CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import CameraConfig
+from coslam_tpu.optim import ba
+from coslam_tpu.parallel import mesh as mesh_lib
+from coslam_tpu.parallel import sharded_ba
+
+from tests.test_ba import _make_problem, CAM
+
+
+def test_sharded_matches_single_device():
+    rng = np.random.default_rng(3)
+    prob, poses_gt, pts_gt = _make_problem(rng, n_kf=6, n_pt=200, noise_px=0.3)
+    res_1 = ba.solve(CAM, prob, iters=8, pcg_iters=30)
+
+    mesh = mesh_lib.make_mesh(n_agents=1, ba_shards=8)
+    res_8 = sharded_ba.solve_sharded(CAM, prob, mesh, iters=8, pcg_iters=30)
+
+    np.testing.assert_allclose(np.asarray(res_8.poses), np.asarray(res_1.poses),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_8.points), np.asarray(res_1.points),
+                               atol=1e-3)
+    # converged near ground truth as well
+    for k in range(2, 6):
+        dT = np.asarray(res_8.poses)[k] @ np.linalg.inv(poses_gt[k])
+        assert np.linalg.norm(dT[:3, 3]) < 0.02
+
+
+def test_sharded_runs_on_2d_mesh():
+    rng = np.random.default_rng(4)
+    prob, *_ = _make_problem(rng, n_kf=4, n_pt=100, noise_px=0.3)
+    mesh = mesh_lib.make_mesh(n_agents=2, ba_shards=4)
+    res = sharded_ba.solve_sharded(CAM, prob, mesh, iters=3, pcg_iters=15)
+    assert np.isfinite(float(res.cost))
