@@ -99,6 +99,7 @@ class TrackerConfig:
     # Monocular initialization (Tracking.cc:565-637)
     init_min_keypoints: int = 100
     init_min_matches: int = 100
+    init_min_good: int = 50        # floor on triangulated inliers (Initializer.cc)
     ransac_iters: int = 200            # Initializer.cc:33
     ransac_sigma: float = 1.0
     # Keyframe policy (Tracking.cc:979-1063)

@@ -260,6 +260,9 @@ def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
         pt_normal=jnp.where(has[:, None], normal, m.pt_normal),
         pt_desc=jnp.where(has[:, None], desc, m.pt_desc),
         pt_max_dist=jnp.where(has, max_dist, m.pt_max_dist),
+        # keep the reference keyframe fresh — loop correction moves each
+        # landmark with its reference keyframe's pose change
+        pt_ref_kf=jnp.where(has, bk, m.pt_ref_kf),
     )
 
 

@@ -1,0 +1,284 @@
+"""Loop detection, Sim3 computation, and loop correction.
+
+TPU reformulation of the reference LoopClosing thread (ORB_SLAM2/src/
+LoopClosing.cc): DetectLoop (:103) lives in models/keyframe_db.py;
+ComputeSim3 (:231) becomes one batched keyframe-pair descriptor match plus
+the vmapped Horn RANSAC of ops/sim3.py; CorrectLoop (:402) becomes a jitted
+MapState transform — duplicate-landmark fusion by index remapping, Sim3
+propagation to the covisible window, essential-graph optimization
+(optim/pose_graph.py) and batched point correction via each landmark's
+reference keyframe, replacing the reference's per-object pointer surgery
+under the global map mutex.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SystemConfig
+from coslam_tpu.models import keyframe_db as kdb
+from coslam_tpu.models import map_state as ms
+from coslam_tpu.ops import matching, sim3 as sim3_ops
+from coslam_tpu.optim import ba, pose_graph
+from coslam_tpu.utils import geometry as geo
+
+_he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def match_pair_points(cfg: SystemConfig, m: ms.MapState, k1, k2):
+    """Descriptor-match landmarks seen in keyframes k1 and k2 (the analogue
+    of SearchByBoW(KF, KF), reference ORBmatcher.cc:522, feeding ComputeSim3).
+
+    Returns per-k1-keypoint arrays: matched k2 keypoint index, point ids on
+    both sides, validity."""
+    has1 = m.kf_kp_valid[k1] & (m.kf_obs_pt[k1] >= 0)
+    has2 = m.kf_kp_valid[k2] & (m.kf_obs_pt[k2] >= 0)
+    # loose pre-filter: geometric verification is the Sim3 RANSAC's job, so
+    # the descriptor gate runs at TH_HIGH without a ratio test (the reference
+    # uses its BoW-bucketed 0.75-ratio search here, ORBmatcher.cc:522, but
+    # its strictness costs recall with no precision benefit before RANSAC)
+    mm = matching.match(m.kf_desc[k1], has1, m.kf_desc[k2], has2,
+                        cfg.matcher, max_dist=cfg.matcher.th_high,
+                        mutual=True,
+                        angle_q=m.kf_angle[k1], angle_t=m.kf_angle[k2])
+    idx2 = jnp.maximum(mm.idx, 0)
+    pt1 = m.kf_obs_pt[k1]
+    pt2 = m.kf_obs_pt[k2][idx2]
+    ok = mm.valid & (pt1 >= 0) & (pt2 >= 0)
+    ok = ok & m.pt_valid[jnp.maximum(pt1, 0)] & m.pt_valid[jnp.maximum(pt2, 0)]
+    return idx2, jnp.maximum(pt1, 0), jnp.maximum(pt2, 0), ok
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def match_counts_all(cfg: SystemConfig, m: ms.MapState, kf_id):
+    """Landmark-level match counts of `kf_id` against every keyframe in one
+    batched pass: (K,) counts of mutual sub-TH_HIGH descriptor matches where
+    both keypoints carry map points.  Used to shortlist loop candidates when
+    BoW scores are weakly selective (the geometric verifier still decides)."""
+    from coslam_tpu.ops import hamming
+
+    has_q = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] >= 0)
+    desc_q = m.kf_desc[kf_id]
+
+    def one(desc_t, has_t):
+        d = hamming.pairwise_hamming_mxu(desc_q, desc_t)
+        d = jnp.where(has_q[:, None] & has_t[None, :], d, matching.INF)
+        best = jnp.min(d, axis=1)
+        bidx = jnp.argmin(d, axis=1)
+        col_best = jnp.argmin(d, axis=0)
+        mutual = col_best[bidx] == jnp.arange(d.shape[0])
+        return ((best < cfg.matcher.th_high) & mutual).sum()
+
+    has_all = m.kf_kp_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None]
+    return jax.vmap(one)(m.kf_desc, has_all)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sim3_between(cfg: SystemConfig, m: ms.MapState, k1, k2,
+                 idx2, pt1, pt2, ok, key):
+    """RANSAC Sim3 S21 with x_k2cam ~ S21(x_k1cam) from matched landmarks
+    (reference LoopClosing::ComputeSim3, LoopClosing.cc:231-300)."""
+    T1 = m.kf_pose[k1]
+    T2 = m.kf_pose[k2]
+    x1c = geo.transform_points(T1, m.pt_pos[pt1])
+    x2c = geo.transform_points(T2, m.pt_pos[pt2])
+    uv1 = m.kf_uv[k1]
+    uv2 = m.kf_uv[k2][idx2]
+    return sim3_ops.ransac_sim3(
+        cfg.camera, x1c, x2c, uv1, uv2, cfg.loop.sim3_ransac_iters,
+        False, valid=ok, key=key, chi2_th=9.21)
+
+
+def _all_pair_edges(K: int):
+    """Static upper-triangle pair enumeration (E = K(K-1)/2)."""
+    ii, jj = np.triu_indices(K, 1)
+    return jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
+                 s21, R21, t21, pt1, pt2, pair_ok):
+    """Apply a verified loop closure (reference LoopClosing::CorrectLoop,
+    LoopClosing.cc:402-601).
+
+    S21 maps current-KF camera coords -> loop-KF camera coords; so the
+    corrected current pose is  S_cw = S21^-1 o S_loop_w  (the reference's
+    mg2oScw = gScm * gSmw with m the loop keyframe).
+    """
+    K = m.kf_pose.shape[0]
+    P = m.pt_pos.shape[0]
+
+    # ---- 1. fuse duplicate landmarks: current-side point -> loop-side point
+    remap = jnp.arange(P, dtype=jnp.int32)
+    remap = remap.at[jnp.where(pair_ok, pt1, P - 1)].set(
+        jnp.where(pair_ok, pt2, remap[P - 1]))
+    # guard: don't let the dustbin write corrupt the last slot
+    remap = remap.at[P - 1].set(P - 1)
+    obs = m.kf_obs_pt
+    obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
+    fused_away = jnp.zeros(P, bool).at[jnp.where(pair_ok, pt1, P - 1)].set(
+        pair_ok, mode="drop")
+    fused_away = fused_away & (jnp.arange(P) != remap)
+    m = m._replace(kf_obs_pt=obs, pt_valid=m.pt_valid & ~fused_away)
+
+    # ---- 2. corrected Sim3 for the current KF and its covisible window
+    S21 = {"s": s21, "R": R21, "t": t21}
+    S_loop_w = geo.sim3_from_se3(m.kf_pose[kf_loop])
+    S_cw_new = geo.sim3_compose(geo.sim3_inverse(S21), S_loop_w)
+
+    covis = ms.covisibility(m)[kf_cur]
+    window = (covis >= cfg.mapper.covis_edge_threshold)
+    window = window.at[kf_cur].set(True)
+    window = window & m.kf_valid
+
+    T_c_old = m.kf_pose[kf_cur]
+    # S_iw_corrected = S_ic o S_cw_new, with S_ic from old (drifted) poses
+    T_ic = jnp.einsum("kij,jl->kil", m.kf_pose, geo.se3_inverse(T_c_old))
+    S_ic = {"s": jnp.ones(K, jnp.float32),
+            "R": T_ic[:, :3, :3], "t": T_ic[:, :3, 3]}
+    S_iw_new = geo.sim3_compose(S_ic, S_cw_new)   # batched over K
+
+    # old vertices (scale 1); windowed KFs get the corrected Sim3
+    v_old = pose_graph.vertices_from_se3(m.kf_pose)
+    v_init = pose_graph.Sim3Vertices(
+        s=jnp.where(window, S_iw_new["s"], v_old.s),
+        R=jnp.where(window[:, None, None], S_iw_new["R"], v_old.R),
+        t=jnp.where(window[:, None], S_iw_new["t"], v_old.t))
+
+    # ---- 3. essential graph: sequential + strong-covisibility + loop edge,
+    # measurements from pre-correction relative poses (the drift-consistent
+    # odometry), loop edge from the verified Sim3
+    ei, ej = _all_pair_edges(K)
+    w_pair = ms.covisibility(m)[ei, ej]
+    seq = (ej - ei) == 1
+    strong = w_pair >= cfg.loop.essential_graph_covis_w
+    is_loop = ((ei == jnp.minimum(kf_cur, kf_loop))
+               & (ej == jnp.maximum(kf_cur, kf_loop)))
+    evalid = (seq | strong | is_loop) & m.kf_valid[ei] & m.kf_valid[ej]
+
+    meas = pose_graph.relative_sim3(v_old, ei, ej)
+    # loop edge measurement: S_j S_i^-1 with corrected relation.  For
+    # (i=min, j=max): if i is the loop KF, S_cur_w_new S_loop_w^-1 (or its
+    # inverse) — both orders handled via where.
+    S_loop_meas_ji = geo.sim3_compose(S_cw_new, geo.sim3_inverse(S_loop_w))
+    cur_is_j = kf_cur > kf_loop
+    lm_s = jnp.where(cur_is_j, S_loop_meas_ji["s"],
+                     1.0 / S_loop_meas_ji["s"])
+    lm_R = jnp.where(cur_is_j, S_loop_meas_ji["R"],
+                     jnp.swapaxes(S_loop_meas_ji["R"], -1, -2))
+    lm_t = jnp.where(
+        cur_is_j, S_loop_meas_ji["t"],
+        -_he("ji,j->i", S_loop_meas_ji["R"], S_loop_meas_ji["t"])
+        / S_loop_meas_ji["s"])
+    meas = pose_graph.Sim3Vertices(
+        s=jnp.where(is_loop, lm_s, meas.s),
+        R=jnp.where(is_loop[:, None, None], lm_R, meas.R),
+        t=jnp.where(is_loop[:, None], lm_t, meas.t))
+
+    fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
+    fixed = fixed | ~m.kf_valid
+    v_out = pose_graph.optimize(v_init, ei, ej, meas,
+                                cfg.loop.essential_graph_iters,
+                                edge_valid=evalid, fixed=fixed)
+
+    # ---- 4. correct landmarks through their reference keyframe's old->new
+    # similarity (reference Optimizer.cc:1010-1030 point correction)
+    ref = jnp.clip(m.pt_ref_kf, 0, K - 1)
+    S_old_ref = {"s": v_old.s[ref], "R": v_old.R[ref], "t": v_old.t[ref]}
+    S_new_ref = {"s": v_out.s[ref], "R": v_out.R[ref], "t": v_out.t[ref]}
+    x_cam = geo.sim3_apply(
+        {"s": S_old_ref["s"], "R": S_old_ref["R"], "t": S_old_ref["t"]},
+        m.pt_pos[:, None, :])[:, 0, :]
+    pt_new = geo.sim3_apply(geo.sim3_inverse(S_new_ref),
+                            x_cam[:, None, :])[:, 0, :]
+    m = m._replace(
+        kf_pose=pose_graph.vertices_to_se3(v_out),
+        pt_pos=jnp.where(m.pt_valid[:, None], pt_new, m.pt_pos),
+    )
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def global_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 8) -> ms.MapState:
+    """Full-map BA after loop correction (reference
+    LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:645, 10 iters)."""
+    obs_kf, obs_pt, obs_uv, obs_level, obs_valid = ms.observation_coo(m)
+    inv_sigma2 = 1.0 / jnp.asarray(cfg.extractor.level_sigma2,
+                                   jnp.float32)[obs_level]
+    K = m.kf_pose.shape[0]
+    prob = ba.BAProblem(
+        poses=m.kf_pose, points=m.pt_pos, obs_kf=obs_kf, obs_pt=obs_pt,
+        obs_uv=obs_uv, obs_w=inv_sigma2, obs_valid=obs_valid,
+        kf_fixed=(jnp.arange(K) == 0) | ~m.kf_valid)
+    res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
+    outlier = (obs_valid & ~res.obs_inlier).reshape(m.kf_obs_pt.shape)
+    return m._replace(kf_pose=res.poses, pt_pos=res.points,
+                      kf_obs_pt=jnp.where(outlier, -1, m.kf_obs_pt))
+
+
+class LoopCloser:
+    """Host-side orchestration (the reference's LoopClosing::Run loop,
+    LoopClosing.cc:57-101, minus the thread)."""
+
+    def __init__(self, cfg: SystemConfig, db: kdb.KeyFrameDatabase,
+                 verbose: bool = False):
+        self.cfg = cfg
+        self.db = db
+        self.verbose = verbose
+        self.last_loop_kf = -10 ** 9
+        self._key = jax.random.PRNGKey(42)
+
+    def on_keyframe(self, m: ms.MapState, kf_id: int
+                    ) -> Tuple[ms.MapState, bool]:
+        lcfg = self.cfg.loop
+        if kf_id - self.last_loop_kf < lcfg.min_kfs_between_loops:
+            return m, False
+        covis_row = np.asarray(ms.covisibility(m)[kf_id])
+        # BoW detection (reference parity; keeps the consistency chains warm)
+        bow_cands = set(self.db.detect_loop_candidates(m, kf_id, covis_row))
+        # landmark-level shortlist: one batched Hamming pass against every
+        # keyframe — on our descriptor domain the BoW score alone is weakly
+        # selective, so the match count does the ranking and the Sim3 RANSAC
+        # does the verification
+        counts = np.asarray(match_counts_all(self.cfg, m, kf_id))
+        K = counts.shape[0]
+        eligible = (np.arange(K) != kf_id) \
+            & (covis_row < self.cfg.mapper.covis_edge_threshold) \
+            & (np.abs(np.arange(K) - kf_id) > lcfg.min_kfs_between_loops) \
+            & np.asarray(m.kf_valid)
+        counts = np.where(eligible, counts, -1)
+        order = np.argsort(-counts)[:3]
+        if self.verbose and counts[order[0]] > 0:
+            print(f"[loop] kf {kf_id}: match-count top {order.tolist()} "
+                  f"({counts[order].tolist()}), bow={sorted(bow_cands)[:5]}",
+                  flush=True)
+        for cand in order:
+            cand = int(cand)
+            if counts[cand] < lcfg.sim3_min_bow_matches:
+                continue
+            idx2, pt1, pt2, ok = match_pair_points(self.cfg, m, kf_id, cand)
+            n_pair = int(ok.sum())
+            if self.verbose:
+                print(f"[loop]   cand {cand}: {n_pair} point pairs", flush=True)
+            if n_pair < lcfg.sim3_min_bow_matches:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            res = sim3_between(self.cfg, m, kf_id, cand, idx2, pt1, pt2, ok, sub)
+            if self.verbose:
+                print(f"[loop]   cand {cand}: sim3 inliers {int(res.n_inliers)}"
+                      f" scale {float(res.s):.3f}", flush=True)
+            if int(res.n_inliers) < lcfg.sim3_min_inliers:
+                continue
+            m = correct_loop(self.cfg, m, jnp.asarray(kf_id),
+                             jnp.asarray(cand), res.s, res.R, res.t,
+                             pt1, pt2, ok & res.inliers)
+            m = global_ba(self.cfg, m)
+            self.last_loop_kf = kf_id
+            return m, True
+        return m, False

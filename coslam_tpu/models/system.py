@@ -25,7 +25,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from coslam_tpu.config import SystemConfig
+from coslam_tpu.models import keyframe_db as kdb
 from coslam_tpu.models import local_mapping as lm
+from coslam_tpu.models import loop_closing as lc
 from coslam_tpu.models import map_state as ms
 from coslam_tpu.models import tracking
 from coslam_tpu.models.frame import Frame, build_frame
@@ -113,9 +115,13 @@ class System:
     """Monocular SLAM engine instance (reference System ctor System.cc:32 +
     TrackMonocular :219)."""
 
-    def __init__(self, cfg: SystemConfig):
+    def __init__(self, cfg: SystemConfig, enable_loop_closing: bool = True):
         self.cfg = cfg
         self.map = ms.empty_map(cfg)
+        self.db = kdb.KeyFrameDatabase(cfg)
+        self.loop_closer = lc.LoopCloser(cfg, self.db) if enable_loop_closing \
+            else None
+        self.n_loops_closed = 0
         self.state = "NOT_INITIALIZED"
         self.ref_frame: Optional[Frame] = None
         self.ref_frame_id = -1
@@ -125,7 +131,11 @@ class System:
         self.last_level = None
         self.frames_since_kf = 0
         self.ref_kf_matches = 0
-        self.trajectory: List[Tuple[int, np.ndarray]] = []
+        # per-frame log: (frame_id, ref_kf, T_frame_wrt_refkf) — final
+        # trajectory reconstructs against the *current* keyframe poses so
+        # loop corrections and BA shifts propagate (reference
+        # System::SaveTrajectoryTUM, System.cc:325-384)
+        self.trajectory: List[Tuple[int, int, np.ndarray]] = []
         self.stats: List[dict] = []
         self._init_key = jax.random.PRNGKey(0)
 
@@ -138,7 +148,10 @@ class System:
         else:
             T = self._track(frame, frame_id)
         if T is not None:
-            self.trajectory.append((frame_id, np.asarray(T)))
+            ref_kf = max(int(self.map.n_kf) - 1, 0)
+            T_rel = np.asarray(T) @ np.linalg.inv(
+                np.asarray(self.map.kf_pose[ref_kf]))
+            self.trajectory.append((frame_id, ref_kf, T_rel))
         return T
 
     # ------------------------------------------------------------------
@@ -161,7 +174,7 @@ class System:
         self._init_key, sub = jax.random.split(self._init_key)
         res = twoview.initialize(
             self.cfg.camera, self.ref_frame.uv, uv2, mm.valid, sub,
-            tr.ransac_iters, tr.ransac_sigma)
+            tr.ransac_iters, tr.ransac_sigma, tr.init_min_good)
         if not bool(res.success):
             return
         m, kp_pt1, n_pts = _initial_map(
@@ -179,8 +192,8 @@ class System:
         self.velocity = None
         self.frames_since_kf = 0
         self.ref_kf_matches = int(n_pts)
-        # also log the two keyframe poses
-        self.trajectory.append((self.ref_frame_id, np.eye(4, dtype=np.float32)))
+        # also log the first keyframe
+        self.trajectory.append((self.ref_frame_id, 0, np.eye(4, dtype=np.float32)))
 
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, frame_id: int) -> Optional[np.ndarray]:
@@ -251,6 +264,16 @@ class System:
         m = lm.local_ba(cfg, m)
         m = lm.cull_points(cfg, m)
         m = lm.refresh_point_geometry(cfg, m)
+        # place recognition + loop closing (reference LoopClosing thread;
+        # here a synchronous stage after local mapping)
+        kf_i = int(k)
+        self.db.add(kf_i, m.kf_desc[kf_i], m.kf_kp_valid[kf_i])
+        if self.loop_closer is not None:
+            m, closed = self.loop_closer.on_keyframe(m, kf_i)
+            if closed:
+                self.n_loops_closed += 1
+                m = lm.refresh_point_geometry(cfg, m)
+                self.stats[-1]["loop_closed"] = True
         self.map = m
         # tracking references the (possibly BA-shifted) new KF pose
         self.last_T = np.asarray(m.kf_pose[k])
@@ -261,6 +284,10 @@ class System:
 
     # ------------------------------------------------------------------
     def trajectory_poses(self):
-        """(frame ids, (F, 4, 4) Tcw array) for evaluation/export."""
-        ids = [fid for fid, _ in self.trajectory]
-        return ids, np.stack([T for _, T in self.trajectory])
+        """(frame ids, (F, 4, 4) Tcw array) reconstructed against current
+        keyframe poses (loop/BA corrections propagate)."""
+        kf_poses = np.asarray(self.map.kf_pose)
+        ids = [fid for fid, _, _ in self.trajectory]
+        poses = np.stack([T_rel @ kf_poses[ref]
+                          for _, ref, T_rel in self.trajectory])
+        return ids, poses

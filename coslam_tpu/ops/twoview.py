@@ -230,9 +230,10 @@ def _motions_from_h(K, H):
     return R, t
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 5, 6, 7))
 def initialize(cam: CameraConfig, uv1, uv2, valid, key,
-               iters: int = 200, sigma: float = 1.0) -> TwoViewResult:
+               iters: int = 200, sigma: float = 1.0,
+               min_good: int = 50) -> TwoViewResult:
     """Full two-view bootstrap from matched (undistorted) pixel coords.
 
     uv1, uv2: (N, 2) float32; valid: (N,) bool.  Mirrors
@@ -283,7 +284,7 @@ def initialize(cam: CameraConfig, uv1, uv2, valid, key,
     # reference acceptance: clear winner (no similar second), >= 90 % of the
     # required minimum, parallax above ~1 deg (Initializer.cc:470-570)
     second = jnp.sort(counts)[-2]
-    min_good = jnp.maximum(0.9 * n_inl.astype(jnp.float32), 50.0)
+    min_good = jnp.maximum(0.9 * n_inl.astype(jnp.float32), float(min_good))
     ok = ((n_good.astype(jnp.float32) > min_good)
           & (second.astype(jnp.float32) < 0.75 * n_good.astype(jnp.float32))
           & (par_cos[best] < 0.9998))

@@ -72,6 +72,40 @@ def _look_at(eye, target, up=(0, -1, 0)):
     return T
 
 
+def make_cylinder_scene(n_points: int = 1500, radius: float = 10.0,
+                        height: float = 4.0, seed: int = 0) -> Scene:
+    """Landmarks on the inside of a cylinder — with `make_loop_trajectory`
+    each frame sees only a local arc, so a full circle produces a genuine
+    loop-closure event (start/end views overlap, middle views do not)."""
+    rng = np.random.default_rng(seed)
+    th = rng.uniform(0, 2 * np.pi, n_points)
+    r = radius * (1.0 + 0.08 * rng.standard_normal(n_points))
+    pts = np.stack([r * np.sin(th), rng.uniform(-height / 2, height / 2,
+                                                n_points), r * np.cos(th)], 1)
+    phase = rng.uniform(0, 2 * np.pi, n_points)
+    tex = rng.integers(30, 226, size=(n_points, 8, 8)).astype(np.float32)
+    return Scene(points=pts.astype(np.float32),
+                 point_phase=phase.astype(np.float32), point_tex=tex)
+
+
+def make_loop_trajectory(n_frames: int = 80, cam_radius: float = 3.0,
+                         look_radius: float = 10.0, frac: float = 1.0,
+                         seed: int = 0) -> Trajectory:
+    """Camera on a circle of radius `cam_radius`, looking radially outward
+    at the cylinder wall; `frac`=1 closes the full circle back to the start
+    pose (monocular drift accumulates along the way -> loop closure)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * frac * i / n_frames
+        eye = np.array([cam_radius * np.sin(a), 0.0, cam_radius * np.cos(a)])
+        target = np.array([look_radius * np.sin(a), 0.0,
+                           look_radius * np.cos(a)])
+        jitter = rng.normal(0, 0.002, 3)
+        poses.append(_look_at(eye + jitter, target))
+    return Trajectory(poses_cw=np.stack(poses).astype(np.float32))
+
+
 def make_trajectory(n_frames: int = 60, kind: str = "arc",
                     radius: float = 2.0, seed: int = 0) -> Trajectory:
     """Smooth sideways arc with slight forward drift, always looking at the
@@ -119,29 +153,46 @@ def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
     rng = np.random.default_rng(seed)  # static background noise (same all frames)
     img = (96 + 8 * rng.standard_normal((h, w))).clip(0, 255)
     uv, z = _project_np(cam, Tcw, scene.points)
-    vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < w) \
-        & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+    vis = (z > 0.3) & (uv[:, 0] >= -30) & (uv[:, 0] < w + 30) \
+        & (uv[:, 1] >= -30) & (uv[:, 1] < h + 30)
     order = np.argsort(-z)  # far first so near landmarks draw on top
     for idx in order:
         if not vis[idx]:
             continue
-        cu, cv = int(round(uv[idx, 0])), int(round(uv[idx, 1]))
-        # landmark rendered as its unique 8x8 texture, nearest-neighbor
-        # upscaled with inverse depth (coarse perspective scaling)
-        size = int(np.clip(round(patch * 16.0 / z[idx]), 12, 40))
-        # scale-consistent nearest-neighbor resize: the full 8x8 texture
-        # always maps onto the square, whatever the apparent size
-        src = np.minimum((np.arange(size) * 8) // size, 7)
-        tile = scene.point_tex[idx][np.ix_(src, src)]
-        hs = size // 2
-        y0, y1 = cv - hs, cv - hs + size
-        x0, x1 = cu - hs, cu - hs + size
-        ty0, tx0 = max(0, -y0), max(0, -x0)
-        y0, x0 = max(0, y0), max(0, x0)
-        y1, x1 = min(h, y1), min(w, x1)
+        cu, cv = float(uv[idx, 0]), float(uv[idx, 1])
+        # continuous apparent size + subpixel placement with bilinear
+        # texture sampling: appearance varies smoothly with viewpoint, so
+        # descriptors are repeatable across views (real-imagery behavior)
+        size = float(np.clip(patch * 16.0 / z[idx], 10.0, 44.0))
+        half = size / 2.0
+        x0 = max(0, int(np.floor(cu - half)))
+        x1 = min(w, int(np.ceil(cu + half)) + 1)
+        y0 = max(0, int(np.floor(cv - half)))
+        y1 = min(h, int(np.ceil(cv + half)) + 1)
         if y1 <= y0 or x1 <= x0:
             continue
-        img[y0:y1, x0:x1] = tile[ty0:ty0 + (y1 - y0), tx0:tx0 + (x1 - x0)]
+        px = np.arange(x0, x1)
+        py = np.arange(y0, y1)
+        tx = (px - (cu - half)) / size * 8.0 - 0.5
+        ty = (py - (cv - half)) / size * 8.0 - 0.5
+        inside_x = (tx > -0.5) & (tx < 7.5)
+        inside_y = (ty > -0.5) & (ty < 7.5)
+        if not inside_x.any() or not inside_y.any():
+            continue
+        txc = np.clip(tx, 0.0, 7.0)
+        tyc = np.clip(ty, 0.0, 7.0)
+        ix0 = np.minimum(txc.astype(int), 6)
+        iy0 = np.minimum(tyc.astype(int), 6)
+        fx = (txc - ix0)[None, :]
+        fy = (tyc - iy0)[:, None]
+        t = scene.point_tex[idx]
+        val = (t[np.ix_(iy0, ix0)] * (1 - fy) * (1 - fx)
+               + t[np.ix_(iy0, ix0 + 1)] * (1 - fy) * fx
+               + t[np.ix_(iy0 + 1, ix0)] * fy * (1 - fx)
+               + t[np.ix_(iy0 + 1, ix0 + 1)] * fy * fx)
+        mask = inside_y[:, None] & inside_x[None, :]
+        region = img[y0:y1, x0:x1]
+        img[y0:y1, x0:x1] = np.where(mask, val, region)
     return img.astype(np.uint8)
 
 
