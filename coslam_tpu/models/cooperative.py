@@ -1,0 +1,331 @@
+"""Cooperative multi-agent layer: keyframe exchange + cross-agent map merge.
+
+This is the feature that defines the reference (SURVEY.md section 0): two
+ORB-SLAM2 processes linked by LCM UDP multicast, the sender serializing
+batches of <= 10 keyframes every 500 viewer ticks
+(ORB_SLAM2.1/.../ros_mono.cc:1915-2399, lcmKeyFrameInfo schema SURVEY 2.3)
+and the receiver reconstructing KeyFrame+MapPoint objects directly from wire
+data — no image transfer, no re-extraction — and feeding them to its normal
+LocalMapping/LoopClosing backend (ORB_SLAM2/.../ros_mono.cc:2108-2192).
+
+TPU-native redesign:
+  * the wire format is a fixed-width packed array pytree (`KeyFramePacket`)
+    — float32 keypoints (fixing the reference's int16 quantization,
+    SURVEY 2.3), packed uint32 descriptors, per-keypoint landmark flags +
+    world positions + stable sender landmark ids for dedup (the reference
+    relies on global MapPoint ids the same way);
+  * transport is pluggable: in-memory queues (in-process agents, tests),
+    the native UDP-multicast bus (coslam_tpu/native, the LCM analog), or
+    device collectives over the mesh agent axis (parallel/exchange.py);
+  * foreign keyframes enter the receiver's map through the same insertion
+    stage as local ones (wire-reconstruction: no extraction, no BoW
+    recompute), after which the standard backend — triangulation, fusion,
+    BA — integrates them;
+  * cross-agent place recognition (landmark match shortlist vs own
+    keyframes) + Sim3 RANSAC aligns the foreign sub-map, which is then
+    rigidly (similarity) transformed into the local frame and fused —
+    the explicit version of what the reference gets implicitly from its
+    loop-closing machinery (SURVEY section 0).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SystemConfig
+from coslam_tpu.models import local_mapping as lm
+from coslam_tpu.models import loop_closing as lc
+from coslam_tpu.models import map_state as ms
+from coslam_tpu.models.frame import Frame
+from coslam_tpu.models.system import System
+from coslam_tpu.utils import geometry as geo
+
+_he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
+
+class KeyFramePacket(NamedTuple):
+    """Wire keyframe — the analog of lcmKeyFrameInfo (reference
+    include/lcmKeyFrame/lcmKeyFrameInfo.hpp:25-150)."""
+    agent_id: int
+    frame_id: int
+    pose: np.ndarray       # (4, 4) Tcw in the SENDER's world frame
+    uv: np.ndarray         # (N, 2) float32 undistorted keypoints
+    level: np.ndarray      # (N,)
+    angle: np.ndarray      # (N,)
+    desc: np.ndarray       # (N, 8) uint32
+    kp_valid: np.ndarray   # (N,)
+    pt_flag: np.ndarray    # (N,) bool — keypoint has a landmark
+    pt_world: np.ndarray   # (N, 3) landmark position (sender world frame)
+    pt_id: np.ndarray      # (N,) int64 stable sender landmark id (-1)
+
+
+def pack_keyframe(m: ms.MapState, kf_id: int, agent_id: int) -> KeyFramePacket:
+    """Serialize one keyframe + its landmarks (sender side; the analogue of
+    the TX loop at reference ORB_SLAM2.1/.../ros_mono.cc:1943-2393)."""
+    pt = np.asarray(m.kf_obs_pt[kf_id])
+    flag = pt >= 0
+    pos = np.asarray(m.pt_pos)[np.maximum(pt, 0)]
+    return KeyFramePacket(
+        agent_id=agent_id,
+        frame_id=int(m.kf_frame_id[kf_id]),
+        pose=np.asarray(m.kf_pose[kf_id]),
+        uv=np.asarray(m.kf_uv[kf_id]),
+        level=np.asarray(m.kf_level[kf_id]),
+        angle=np.asarray(m.kf_angle[kf_id]),
+        desc=np.asarray(m.kf_desc[kf_id]),
+        kp_valid=np.asarray(m.kf_kp_valid[kf_id]),
+        pt_flag=flag,
+        pt_world=np.where(flag[:, None], pos, 0.0).astype(np.float32),
+        pt_id=np.where(flag, pt.astype(np.int64), -1),
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _add_foreign_points(cfg: SystemConfig, m: ms.MapState, pos, desc,
+                        need, kf_slot_hint):
+    """Allocate landmarks for a foreign keyframe's flagged keypoints that
+    have not been seen before (prefix-sum slot allocation)."""
+    P = m.pt_pos.shape[0]
+    cum = jnp.cumsum(need.astype(jnp.int32)) - 1
+    slot = m.n_pt + cum
+    can = need & (slot < P)
+    slot_safe = jnp.where(can, slot, P)
+
+    def sc(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        big = jnp.concatenate([arr, pad])
+        return big.at[slot_safe].set(
+            jnp.where(can.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                      vals, big[slot_safe]))[:-1]
+
+    n = pos.shape[0]
+    m = m._replace(
+        pt_pos=sc(m.pt_pos, pos),
+        pt_valid=sc(m.pt_valid, can),
+        pt_desc=sc(m.pt_desc, desc),
+        pt_normal=sc(m.pt_normal, jnp.zeros((n, 3), jnp.float32)
+                     .at[:, 2].set(1.0)),
+        pt_max_dist=sc(m.pt_max_dist, jnp.full(n, 10.0, jnp.float32)),
+        pt_ref_kf=sc(m.pt_ref_kf, jnp.full(n, kf_slot_hint, jnp.int32)),
+        pt_first_kf=sc(m.pt_first_kf, jnp.full(n, kf_slot_hint, jnp.int32)),
+        pt_visible=sc(m.pt_visible, jnp.ones(n, jnp.int32)),
+        pt_found=sc(m.pt_found, jnp.ones(n, jnp.int32)),
+        n_pt=jnp.minimum(m.n_pt + can.sum(), P),
+    )
+    return m, jnp.where(can, slot, -1)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _apply_sim3_to_component(cfg: SystemConfig, m: ms.MapState,
+                             s, R, t, kf_mask, pt_mask):
+    """Similarity-transform a sub-map component: X -> s R X + t for its
+    landmarks; poses updated so camera-frame coords are preserved
+    (T_new = [R_old R^T | (t_old - R_old R^T t / s) ... via Sim3 algebra])."""
+    S = {"s": s, "R": R, "t": t}
+    Sinv = geo.sim3_inverse(S)
+    pt_new = geo.sim3_apply(S, m.pt_pos[:, None, :])[:, 0, :]
+    # pose: S_kw_new = S_kw_old o S^-1, then [R | t/s]
+    K = m.kf_pose.shape[0]
+    S_old = {"s": jnp.ones(K, jnp.float32),
+             "R": m.kf_pose[:, :3, :3], "t": m.kf_pose[:, :3, 3]}
+    s_n = S_old["s"] * Sinv["s"]
+    R_n = _he("kij,jl->kil", S_old["R"], Sinv["R"])
+    t_n = S_old["s"][:, None] * _he("kij,j->ki", S_old["R"], Sinv["t"]) \
+        + S_old["t"]
+    T_new = geo.se3(R_n, t_n / s_n[:, None])
+    return m._replace(
+        pt_pos=jnp.where(pt_mask[:, None], pt_new, m.pt_pos),
+        kf_pose=jnp.where(kf_mask[:, None, None], T_new, m.kf_pose),
+    )
+
+
+class CoopAgent(System):
+    """A SLAM agent that can publish its keyframes and integrate foreign
+    ones — the union of the reference's sender (ORB_SLAM2.1) and receiver
+    (ORB_SLAM2) roles."""
+
+    def __init__(self, cfg: SystemConfig, agent_id: int = 0, **kw):
+        super().__init__(cfg, **kw)
+        self.agent_id = agent_id
+        K = cfg.mapper.max_keyframes
+        P = cfg.mapper.max_points
+        self.kf_agent = np.full(K, -1, np.int32)
+        self.pt_agent = np.full(P, -1, np.int32)
+        # sender (agent, pt_id) -> local pt slot (dedup across packets,
+        # mirroring the reference's global-MapPoint-id reconstruction)
+        self._foreign_pt: Dict[Tuple[int, int], int] = {}
+        self._published_kfs = 0
+        self.merged_agents: Dict[int, bool] = {}
+        # per-agent world alignment (s, R, t): x_local = s R x_sender + t
+        self._agent_sim3: Dict[int, Tuple[float, np.ndarray, np.ndarray]] = {}
+        self.n_merges = 0
+
+    # -- bookkeeping hooks -------------------------------------------------
+    def _insert_keyframe(self, frame, frame_id, res):
+        k_before = int(self.map.n_kf)
+        super()._insert_keyframe(frame, frame_id, res)
+        for k in range(k_before, int(self.map.n_kf)):
+            self.kf_agent[k] = self.agent_id
+        self.pt_agent[np.asarray(self.map.pt_valid) & (self.pt_agent < 0)] = \
+            self.agent_id
+
+    def _try_initialize(self, frame, frame_id):
+        super()._try_initialize(frame, frame_id)
+        if self.state == "OK":
+            self.kf_agent[: int(self.map.n_kf)] = self.agent_id
+            self.pt_agent[np.asarray(self.map.pt_valid)
+                          & (self.pt_agent < 0)] = self.agent_id
+
+    # -- sender ------------------------------------------------------------
+    def drain_packets(self, max_batch: int = 10) -> List[KeyFramePacket]:
+        """Publish keyframes not yet sent (reference cadence: <= 10 KFs per
+        batch, ros_mono.cc:1948)."""
+        n_kf = int(self.map.n_kf)
+        out = []
+        while self._published_kfs < n_kf and len(out) < max_batch:
+            k = self._published_kfs
+            if self.kf_agent[k] == self.agent_id:
+                out.append(pack_keyframe(self.map, k, self.agent_id))
+            self._published_kfs += 1
+        return out
+
+    # -- receiver ----------------------------------------------------------
+    def receive_packet(self, pkt: KeyFramePacket) -> bool:
+        """Wire-reconstruct a foreign keyframe into the local map
+        (reference CreateNewKeyFrame(id) path, ros_mono.cc:2108-2192), then
+        attempt cross-agent alignment.  Returns True if a merge happened."""
+        if self.state != "OK":
+            return False
+        m = self.map
+        K = m.kf_pose.shape[0]
+        if int(m.n_kf) >= K:
+            return False
+        # if this agent's frame is already aligned, transform the packet
+        # into the local world frame on arrival
+        if pkt.agent_id in self._agent_sim3:
+            s, R, t = self._agent_sim3[pkt.agent_id]
+            pt_world = (s * pkt.pt_world @ R.T + t).astype(np.float32)
+            # T_new = [R_old R^T | (t_old - R_old R^T t) / s] via
+            # S_kw_new = S_kw_old o S^-1 then [Rn | tn/sn]
+            R_old, t_old = pkt.pose[:3, :3], pkt.pose[:3, 3]
+            Rn = R_old @ R.T
+            tn = t_old - Rn @ t / s  # (S_old o S^-1): t = 1*R_old(-R^T t/s)+t_old
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = Rn
+            pose[:3, 3] = tn * s  # divide by s_n = 1/s  ->  multiply by s
+            pkt = pkt._replace(pose=pose, pt_world=pt_world)
+        # dedup landmarks by sender id
+        N = pkt.uv.shape[0]
+        kp_pt = np.full(N, -1, np.int32)
+        need_new = np.zeros(N, bool)
+        for i in np.nonzero(pkt.pt_flag)[0]:
+            key = (pkt.agent_id, int(pkt.pt_id[i]))
+            if key in self._foreign_pt:
+                kp_pt[i] = self._foreign_pt[key]
+            else:
+                need_new[i] = True
+        m, new_ids = _add_foreign_points(
+            self.cfg, m, jnp.asarray(pkt.pt_world), jnp.asarray(pkt.desc),
+            jnp.asarray(need_new), m.n_kf)
+        new_ids = np.asarray(new_ids)
+        for i in np.nonzero(need_new)[0]:
+            if new_ids[i] >= 0:
+                self._foreign_pt[(pkt.agent_id, int(pkt.pt_id[i]))] = \
+                    int(new_ids[i])
+                kp_pt[i] = new_ids[i]
+                self.pt_agent[new_ids[i]] = pkt.agent_id
+
+        frame = Frame(
+            uv=jnp.asarray(pkt.uv), uv_raw=jnp.asarray(pkt.uv),
+            level=jnp.asarray(pkt.level), angle=jnp.asarray(pkt.angle),
+            response=jnp.zeros(N, jnp.float32), desc=jnp.asarray(pkt.desc),
+            valid=jnp.asarray(pkt.kp_valid),
+            inv_sigma2=1.0 / jnp.asarray(
+                self.cfg.extractor.level_sigma2, jnp.float32)[
+                    jnp.asarray(pkt.level)])
+        m, k = lm.insert_keyframe(
+            self.cfg, m, frame, jnp.asarray(pkt.pose),
+            jnp.asarray(pkt.frame_id), jnp.asarray(kp_pt))
+        k = int(k)
+        self.kf_agent[k] = pkt.agent_id
+        self.db.add(k, frame.desc, frame.valid)
+        self.map = m
+
+        if not self.merged_agents.get(pkt.agent_id):
+            return self._try_merge(k, pkt.agent_id)
+        # already aligned: let the normal backend integrate further
+        self.map = lm.refresh_point_geometry(self.cfg, self.map)
+        return False
+
+    # -- cross-agent alignment --------------------------------------------
+    def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
+        """Place-recognize the foreign keyframe against OWN keyframes; on a
+        verified Sim3, similarity-transform the foreign component into the
+        local frame and fuse duplicate landmarks."""
+        cfg = self.cfg
+        m = self.map
+        counts = np.asarray(lc.match_counts_all(cfg, m, foreign_kf))
+        own = (self.kf_agent[: counts.shape[0]] == self.agent_id) \
+            & np.asarray(m.kf_valid)
+        counts = np.where(own, counts, -1)
+        order = np.argsort(-counts)[:3]
+        for cand in order:
+            cand = int(cand)
+            if counts[cand] < cfg.loop.sim3_min_bow_matches:
+                continue
+            idx2, pt1, pt2, ok = lc.match_pair_points(cfg, m, foreign_kf, cand)
+            if int(ok.sum()) < cfg.loop.sim3_min_bow_matches:
+                continue
+            key = jax.random.PRNGKey(1234 + foreign_kf)
+            res = lc.sim3_between(cfg, m, foreign_kf, cand, idx2, pt1,
+                                  pt2, ok, key)
+            if int(res.n_inliers) < cfg.loop.sim3_min_inliers:
+                continue
+            # S21: foreign-KF cam -> own-KF cam.  World-to-world:
+            # S_wOwn_wFor = T_own^-1 o S21 o T_for  (as Sim3)
+            T_own = geo.sim3_from_se3(
+                geo.se3_inverse(m.kf_pose[cand]))
+            S21 = {"s": res.s, "R": res.R, "t": res.t}
+            T_for = geo.sim3_from_se3(m.kf_pose[foreign_kf])
+            S_w = geo.sim3_compose(T_own, geo.sim3_compose(S21, T_for))
+
+            kf_mask = jnp.asarray(self.kf_agent == agent_id) & m.kf_valid
+            pt_mask = jnp.asarray(self.pt_agent == agent_id) & m.pt_valid
+            m = _apply_sim3_to_component(cfg, m, S_w["s"], S_w["R"],
+                                         S_w["t"], kf_mask, pt_mask)
+            # fuse the matched duplicates (foreign landmark -> own landmark)
+            m = lc.fuse_landmarks(cfg, m, pt1, pt2, ok & res.inliers)
+            m = lm.refresh_point_geometry(cfg, m)
+            m = lc.global_ba(cfg, m, iters=5)
+            self.map = m
+            self.merged_agents[agent_id] = True
+            self._agent_sim3[agent_id] = (
+                float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))
+            self.n_merges += 1
+            return True
+        return False
+
+
+class InMemoryBus:
+    """Loss-less in-process transport (tests / single-host multi-agent).
+    The native UDP multicast bus (coslam_tpu/native) is the drop-in
+    cross-process replacement, mirroring LCM channel semantics."""
+
+    def __init__(self):
+        self.queues: Dict[int, List[KeyFramePacket]] = {}
+
+    def publish(self, sender: int, pkts: List[KeyFramePacket],
+                subscribers: List[int]):
+        for sub in subscribers:
+            if sub != sender:
+                self.queues.setdefault(sub, []).extend(pkts)
+
+    def drain(self, agent_id: int) -> List[KeyFramePacket]:
+        out = self.queues.get(agent_id, [])
+        self.queues[agent_id] = []
+        return out

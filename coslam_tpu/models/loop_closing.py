@@ -95,6 +95,26 @@ def sim3_between(cfg: SystemConfig, m: ms.MapState, k1, k2,
         False, valid=ok, key=key, chi2_th=9.21)
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def fuse_landmarks(cfg: SystemConfig, m: ms.MapState, pt_from, pt_to,
+                   pair_ok) -> ms.MapState:
+    """Merge duplicate landmarks: every observation of pt_from[i] is
+    re-pointed at pt_to[i] and pt_from[i] is invalidated (the analogue of
+    MapPoint::Replace, reference MapPoint.cc:177, done as one index remap
+    over the whole observation table)."""
+    P = m.pt_pos.shape[0]
+    remap = jnp.arange(P, dtype=jnp.int32)
+    remap = remap.at[jnp.where(pair_ok, pt_from, P - 1)].set(
+        jnp.where(pair_ok, pt_to, remap[P - 1]))
+    remap = remap.at[P - 1].set(P - 1)
+    obs = m.kf_obs_pt
+    obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
+    fused_away = jnp.zeros(P, bool).at[
+        jnp.where(pair_ok, pt_from, P - 1)].set(pair_ok, mode="drop")
+    fused_away = fused_away & (jnp.arange(P) != remap)
+    return m._replace(kf_obs_pt=obs, pt_valid=m.pt_valid & ~fused_away)
+
+
 def _all_pair_edges(K: int):
     """Static upper-triangle pair enumeration (E = K(K-1)/2)."""
     ii, jj = np.triu_indices(K, 1)
@@ -115,17 +135,7 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
     P = m.pt_pos.shape[0]
 
     # ---- 1. fuse duplicate landmarks: current-side point -> loop-side point
-    remap = jnp.arange(P, dtype=jnp.int32)
-    remap = remap.at[jnp.where(pair_ok, pt1, P - 1)].set(
-        jnp.where(pair_ok, pt2, remap[P - 1]))
-    # guard: don't let the dustbin write corrupt the last slot
-    remap = remap.at[P - 1].set(P - 1)
-    obs = m.kf_obs_pt
-    obs = jnp.where(obs >= 0, remap[jnp.maximum(obs, 0)], obs)
-    fused_away = jnp.zeros(P, bool).at[jnp.where(pair_ok, pt1, P - 1)].set(
-        pair_ok, mode="drop")
-    fused_away = fused_away & (jnp.arange(P) != remap)
-    m = m._replace(kf_obs_pt=obs, pt_valid=m.pt_valid & ~fused_away)
+    m = fuse_landmarks(cfg, m, pt1, pt2, pair_ok)
 
     # ---- 2. corrected Sim3 for the current KF and its covisible window
     S21 = {"s": s21, "R": R21, "t": t21}
