@@ -91,6 +91,28 @@ class KeyFrameDatabase:
         return 1.0 - 0.5 * np.abs(w - q[None]).sum(1)
 
     # ------------------------------------------------------------------
+    def detect_reloc_candidates(self, desc: jnp.ndarray, valid: jnp.ndarray,
+                                top_k: int = 5) -> List[int]:
+        """Best keyframes for relocalizing a lost frame (reference
+        KeyFrameDatabase::DetectRelocalizationCandidates,
+        KeyFrameDatabase.cc:199: same inverted-file scoring, no temporal or
+        covisibility exclusion)."""
+        if not self.has.any():
+            return []
+        q = self.compute_bow(desc, valid)
+        n = max(int(self.has.sum()), 1)
+        df = (self.bows > 0).sum(0)
+        idf = np.log(n / (1.0 + df)).clip(min=0.0)
+        w = self.bows * idf[None]
+        w = w / np.maximum(np.abs(w).sum(1, keepdims=True), 1e-9)
+        qw = q * idf
+        qw = qw / max(np.abs(qw).sum(), 1e-9)
+        scores = np.where(self.has, 1.0 - 0.5 * np.abs(w - qw[None]).sum(1),
+                          -1.0)
+        order = np.argsort(-scores)[:top_k]
+        return [int(i) for i in order if scores[i] > 0]
+
+    # ------------------------------------------------------------------
     def detect_loop_candidates(self, m: ms.MapState, kf_id: int,
                                covis_row: np.ndarray) -> List[int]:
         """Score-sorted, covisibility-consistent loop candidates for the

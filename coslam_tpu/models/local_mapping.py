@@ -266,6 +266,106 @@ def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0,))
+def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
+    """Project the new keyframe's landmarks into its covisible neighbors and
+    reconcile duplicates (reference LocalMapping::SearchInNeighbors,
+    LocalMapping.cc:454 + ORBmatcher::Fuse :825): a matching neighbor
+    keypoint that is free gains the observation; one already bound to a
+    different landmark triggers a fuse keeping the better-observed one."""
+    from coslam_tpu.ops import hamming
+
+    cam = cfg.camera
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    covis = ms.covisibility(m)[kf_id]
+    covis = covis.at[kf_id].set(0)
+    _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
+    nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
+    obs_count = ms.point_obs_count(m)
+
+    src_pt = m.kf_obs_pt[kf_id]                       # (N,)
+    src_ok = src_pt >= 0
+    src_pt_safe = jnp.maximum(src_pt, 0)
+    X = m.pt_pos[src_pt_safe]
+    desc = m.pt_desc[src_pt_safe]
+
+    for j in range(N_TRIANG_NEIGHBORS):
+        k2 = neighbors[j]
+        pair_ok = nb_ok[j] & m.kf_valid[k2]
+        T2 = m.kf_pose[k2]
+        pc = geo.transform_points(T2, X)
+        z = pc[:, 2]
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        uv_pred = jnp.stack([pc[:, 0] / zs * cam.fx + cam.cx,
+                             pc[:, 1] / zs * cam.fy + cam.cy], 1)
+        ok_q = src_ok & pair_ok & (z > 0.1) & m.pt_valid[src_pt_safe]
+
+        lvl2 = m.kf_level[k2]
+        r = 3.0 * scales[lvl2]                         # per-target radius
+        d2 = jnp.sum((uv_pred[:, None, :] - m.kf_uv[k2][None, :, :]) ** 2, -1)
+        window = d2 <= (r * r)[None, :]
+        dmat = hamming.pairwise_hamming_mxu(desc, m.kf_desc[k2])
+        valid_t = m.kf_kp_valid[k2]
+        dmat = jnp.where(window & ok_q[:, None] & valid_t[None, :],
+                         dmat, 1 << 20)
+        best = jnp.min(dmat, axis=1)
+        bidx = jnp.argmin(dmat, axis=1)
+        good = ok_q & (best < cfg.matcher.th_low)
+
+        tgt_pt = m.kf_obs_pt[k2][bidx]                 # existing binding
+        # free keypoint -> gain observation of src point
+        N2 = m.kf_obs_pt.shape[1]
+        row = m.kf_obs_pt[k2]
+        add = good & (tgt_pt < 0)
+        tgt_idx = jnp.where(add, bidx, N2)
+        row_ext = jnp.concatenate([row, jnp.full(1, -1, jnp.int32)])
+        row_ext = row_ext.at[tgt_idx].set(
+            jnp.where(add, src_pt, -1), mode="drop")
+        m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k2].set(row_ext[:N2]))
+        # bound to a different landmark -> fuse, keeping better-observed
+        dup = good & (tgt_pt >= 0) & (tgt_pt != src_pt)
+        keep_tgt = obs_count[jnp.maximum(tgt_pt, 0)] >= obs_count[src_pt_safe]
+        pt_from = jnp.where(keep_tgt, src_pt_safe, jnp.maximum(tgt_pt, 0))
+        pt_to = jnp.where(keep_tgt, jnp.maximum(tgt_pt, 0), src_pt_safe)
+        from coslam_tpu.models import loop_closing as _lc
+        m = _lc.fuse_landmarks(cfg, m, pt_from, pt_to, dup)
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def cull_keyframes(cfg: SystemConfig, m: ms.MapState, center) -> ms.MapState:
+    """Redundant-keyframe culling (reference LocalMapping::KeyFrameCulling,
+    LocalMapping.cc:632-700): a covisible keyframe whose landmarks are >= 90%
+    observed by >= 3 other keyframes at the same or finer octave is retired.
+    The first two keyframes (map origin) are immune."""
+    K, N = m.kf_obs_pt.shape
+    P = m.pt_pos.shape[0]
+    L = cfg.extractor.n_levels
+    ok = m.kf_kp_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None]
+    pt = jnp.maximum(m.kf_obs_pt, 0)
+    ok = ok & m.pt_valid[pt]
+    # per-point per-level observation histogram
+    hist = jnp.zeros((P, L), jnp.int32).at[
+        pt.reshape(-1), jnp.clip(m.kf_level.reshape(-1), 0, L - 1)
+    ].add(ok.reshape(-1).astype(jnp.int32))
+    cum = jnp.cumsum(hist, axis=1)                    # obs at level <= l
+    lv = jnp.clip(m.kf_level, 0, L - 1)
+    lv1 = jnp.clip(lv + 1, 0, L - 1)
+    n_at_finer = cum[pt, lv1]                         # includes own obs
+    redundant = ok & ((n_at_finer - 1) >= 3)
+    n_obs = ok.sum(1)
+    frac = redundant.sum(1) / jnp.maximum(n_obs, 1)
+
+    covis = ms.covisibility(m)[center]
+    candidate = (covis >= cfg.mapper.covis_edge_threshold) & m.kf_valid
+    candidate = candidate & (jnp.arange(K) >= 2) & (jnp.arange(K) != center)
+    cull = candidate & (frac > cfg.mapper.kf_culling_redundancy) & (n_obs > 20)
+    return m._replace(
+        kf_valid=m.kf_valid & ~cull,
+        kf_obs_pt=jnp.where(cull[:, None], -1, m.kf_obs_pt),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def local_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 6) -> ms.MapState:
     """Local bundle adjustment around the newest keyframe (reference

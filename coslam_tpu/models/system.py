@@ -202,22 +202,32 @@ class System:
             self.velocity @ self.last_T if self.velocity is not None
             else self.last_T)
 
-        radius = 15.0 if self.velocity is not None else 30.0
-        res = tracking.track_motion_model(
-            self.cfg, self.map, frame, self.last_kp_pt, self.last_level,
-            T_pred, radius)
-        if int(res.n_inliers) < tr.min_matches_motion:
+        if self.state == "LOST":
+            res = self._attempt_relocalization(frame)
+        else:
+            radius = 15.0 if self.velocity is not None else 30.0
             res = tracking.track_motion_model(
                 self.cfg, self.map, frame, self.last_kp_pt, self.last_level,
-                T_pred, 2.0 * radius)
+                T_pred, radius)
+            if int(res.n_inliers) < tr.min_matches_motion:
+                res = tracking.track_motion_model(
+                    self.cfg, self.map, frame, self.last_kp_pt,
+                    self.last_level, T_pred, 2.0 * radius)
+            if int(res.n_inliers) < 10:
+                # motion tracking failed outright — try relocalization this
+                # frame (reference falls through to Relocalization,
+                # Tracking.cc:366-380)
+                res = self._attempt_relocalization(frame)
 
-        res2, self.map = tracking.track_local_map(
-            self.cfg, self.map, frame, res.T, res.kp_pt)
-        n_inl = int(res2.n_inliers)
+        if res is not None:
+            res2, self.map = tracking.track_local_map(
+                self.cfg, self.map, frame, res.T, res.kp_pt)
+            n_inl = int(res2.n_inliers)
+        else:
+            n_inl = 0
         if n_inl < 10:
-            # lost: keep constant-velocity dead reckoning (reference would
-            # relocalize; BoW relocalization comes with the place-recognition
-            # stage)
+            # lost: constant-velocity dead reckoning until relocalization
+            # succeeds (reference keeps the LOST state the same way)
             self.state = "LOST"
             T_np = np.asarray(T_pred)
             self.velocity = None
@@ -240,6 +250,25 @@ class System:
         return T_np
 
     # ------------------------------------------------------------------
+    def _attempt_relocalization(self, frame: Frame):
+        """Place recognition + EPnP RANSAC + pose refinement (reference
+        Tracking::Relocalization, Tracking.cc:1343).  Returns a TrackResult
+        or None."""
+        cands = self.db.detect_reloc_candidates(frame.desc, frame.valid,
+                                                top_k=3)
+        best = None
+        for c in cands:
+            self._init_key, sub = jax.random.split(self._init_key)
+            res = tracking.relocalize_against_kf(
+                self.cfg, self.map, frame, jnp.asarray(c), sub)
+            if int(res.n_inliers) >= 15 and (
+                    best is None or int(res.n_inliers) > int(best.n_inliers)):
+                best = res
+        if best is not None:
+            self.n_relocalizations = getattr(self, "n_relocalizations", 0) + 1
+        return best
+
+    # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int) -> bool:
         """NeedNewKeyFrame (Tracking.cc:979-1063) distilled: enough frames
         passed, or tracking decayed below ref_ratio of the reference KF."""
@@ -260,9 +289,11 @@ class System:
                                   jnp.asarray(self.last_T), frame_id,
                                   res.kp_pt)
         m = lm.create_map_points(cfg, m, k)
+        m = lm.fuse_into_neighbors(cfg, m, k)
         m = lm.refresh_point_geometry(cfg, m)
         m = lm.local_ba(cfg, m)
         m = lm.cull_points(cfg, m)
+        m = lm.cull_keyframes(cfg, m, k)
         m = lm.refresh_point_geometry(cfg, m)
         # place recognition + loop closing (reference LoopClosing thread;
         # here a synchronous stage after local mapping)

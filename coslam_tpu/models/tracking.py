@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from coslam_tpu.config import SystemConfig
 from coslam_tpu.models.frame import Frame
 from coslam_tpu.models.map_state import MapState
-from coslam_tpu.ops import matching
+from coslam_tpu.ops import matching, pnp
 from coslam_tpu.optim import pose_opt
 from coslam_tpu.utils import geometry as geo
 
@@ -85,6 +85,31 @@ def track_motion_model(cfg: SystemConfig, m: MapState, frame: Frame,
                                  frame.inv_sigma2, cfg.tracker)
     kp_pt = jnp.where(res.inliers, kp_pt, -1)
     return TrackResult(T=res.T, kp_pt=kp_pt, n_matches=n_matches,
+                       n_inliers=res.n_inliers)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def relocalize_against_kf(cfg: SystemConfig, m: MapState, frame: Frame,
+                          cand_kf, key) -> TrackResult:
+    """One relocalization attempt against a place-recognition candidate
+    (reference Tracking::Relocalization, Tracking.cc:1343: SearchByBoW to
+    the candidate's landmarks, EPnP RANSAC, pose optimization)."""
+    cam = cfg.camera
+    pt = m.kf_obs_pt[cand_kf]
+    pt_safe = jnp.maximum(pt, 0)
+    ok_t = (pt >= 0) & m.kf_kp_valid[cand_kf] & m.pt_valid[pt_safe]
+    mm = matching.match(frame.desc, frame.valid, m.pt_desc[pt_safe], ok_t,
+                        cfg.matcher, max_dist=cfg.matcher.th_high,
+                        ratio=0.85, mutual=True)
+    kp_pt = jnp.where(mm.valid, pt_safe[jnp.maximum(mm.idx, 0)], -1)
+    ok = kp_pt >= 0
+    X = m.pt_pos[jnp.maximum(kp_pt, 0)]
+    res_pnp = pnp.ransac_pnp(cam, X, frame.uv, ok, key)
+    res = pose_opt.optimize_pose(cam, res_pnp.T, X, frame.uv,
+                                 ok & res_pnp.inliers, frame.inv_sigma2,
+                                 cfg.tracker)
+    kp_pt = jnp.where(res.inliers, kp_pt, -1)
+    return TrackResult(T=res.T, kp_pt=kp_pt, n_matches=ok.sum(),
                        n_inliers=res.n_inliers)
 
 
