@@ -266,6 +266,67 @@ def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def add_depth_points(cfg: SystemConfig, m: ms.MapState, kf_id,
+                     kp_depth, close_only: bool = True) -> ms.MapState:
+    """Create landmarks directly from sensor depth for a keyframe's
+    unassociated keypoints (reference stereo/RGB-D CreateNewKeyFrame path,
+    Tracking.cc:1065-1140, and StereoInitialization): backproject close
+    keypoints and bind them to the keyframe."""
+    from coslam_tpu.utils import camera as cam_mod
+
+    cam = cfg.camera
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    # reference semantics: initialization backprojects every positive
+    # depth (StereoInitialization); later keyframes only create "close"
+    # points below mThDepth = bf * ThDepth / fx (Tracking.cc:105-117)
+    if close_only:
+        depth_th = (cam.bf / cam.fx) * cam.depth_th_factor if cam.bf > 0 \
+            else 8.0
+    else:
+        depth_th = 1e9
+
+    row = m.kf_obs_pt[kf_id]
+    need = m.kf_kp_valid[kf_id] & (row < 0) \
+        & (kp_depth > 0.05) & (kp_depth < depth_th)
+    T = m.kf_pose[kf_id]
+    Xc = cam_mod.backproject(cam, m.kf_uv[kf_id], kp_depth)
+    Xw = geo.transform_points(geo.se3_inverse(T), Xc)
+
+    P = m.pt_pos.shape[0]
+    cum = jnp.cumsum(need.astype(jnp.int32)) - 1
+    slot = m.n_pt + cum
+    can = need & (slot < P)
+    slot_safe = jnp.where(can, slot, P)
+
+    def sc(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        big = jnp.concatenate([arr, pad])
+        return big.at[slot_safe].set(
+            jnp.where(can.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                      vals, big[slot_safe]))[:-1]
+
+    C = -_he("ji,j->i", T[:3, :3], T[:3, 3])
+    rays = Xw - C
+    d = jnp.linalg.norm(rays, axis=1) + 1e-9
+    n = Xw.shape[0]
+    m = m._replace(
+        pt_pos=sc(m.pt_pos, Xw),
+        pt_valid=sc(m.pt_valid, can),
+        pt_desc=sc(m.pt_desc, m.kf_desc[kf_id]),
+        pt_normal=sc(m.pt_normal, rays / d[:, None]),
+        pt_max_dist=sc(m.pt_max_dist, d * scales[m.kf_level[kf_id]]),
+        pt_ref_kf=sc(m.pt_ref_kf, jnp.full(n, kf_id, jnp.int32)),
+        pt_first_kf=sc(m.pt_first_kf,
+                       jnp.full(n, 0, jnp.int32) + m.n_kf - 1),
+        pt_visible=sc(m.pt_visible, jnp.ones(n, jnp.int32)),
+        pt_found=sc(m.pt_found, jnp.ones(n, jnp.int32)),
+        n_pt=jnp.minimum(m.n_pt + can.sum(), P),
+    )
+    new_id = jnp.where(can, slot, row)
+    return m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_id))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
     """Project the new keyframe's landmarks into its covisible neighbors and

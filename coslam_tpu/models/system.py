@@ -142,17 +142,81 @@ class System:
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, frame_id: int) -> Optional[np.ndarray]:
         frame = build_frame(jnp.asarray(img), self.cfg)
+        self._cur_depth = None
         if self.state == "NOT_INITIALIZED":
             self._try_initialize(frame, frame_id)
             T = self.last_T if self.state == "OK" else None
         else:
             T = self._track(frame, frame_id)
+        return self._log_pose(frame_id, T)
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
+                   frame_id: int) -> Optional[np.ndarray]:
+        """RGB-D tracking (reference System::TrackRGBD, System.cc + Tracking
+        ::GrabImageRGBD): sensor depth gives metric scale; initialization is
+        a single keyframe with backprojected landmarks."""
+        from coslam_tpu.ops import stereo as stereo_ops
+
+        frame = build_frame(jnp.asarray(img), self.cfg)
+        sd = stereo_ops.rgbd_depth(self.cfg.camera, frame.uv, frame.valid,
+                                   jnp.asarray(depth))
+        return self._track_with_depth(frame, sd, frame_id)
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     frame_id: int) -> Optional[np.ndarray]:
+        """Rectified stereo tracking (reference System::TrackStereo):
+        left/right ORB extraction + row-banded descriptor matching yields
+        per-keypoint depth; the rest of the pipeline is shared."""
+        from coslam_tpu.ops import orb, stereo as stereo_ops
+
+        frame = build_frame(jnp.asarray(img_left), self.cfg)
+        kpsR = orb.extract(jnp.asarray(img_right), self.cfg.extractor)
+        kpsL = {"uv": frame.uv, "level": frame.level, "desc": frame.desc,
+                "valid": frame.valid}
+        sd = stereo_ops.match_stereo(self.cfg.camera, self.cfg.extractor,
+                                     self.cfg.matcher, kpsL, kpsR,
+                                     jnp.asarray(img_left),
+                                     jnp.asarray(img_right))
+        return self._track_with_depth(frame, sd, frame_id)
+
+    def _track_with_depth(self, frame: Frame, sd, frame_id: int):
+        self._cur_depth = sd.depth
+        if self.state == "NOT_INITIALIZED":
+            self._initialize_with_depth(frame, sd, frame_id)
+            T = self.last_T if self.state == "OK" else None
+        else:
+            T = self._track(frame, frame_id)
+        return self._log_pose(frame_id, T)
+
+    def _log_pose(self, frame_id: int, T) -> Optional[np.ndarray]:
         if T is not None:
             ref_kf = max(int(self.map.n_kf) - 1, 0)
             T_rel = np.asarray(T) @ np.linalg.inv(
                 np.asarray(self.map.kf_pose[ref_kf]))
             self.trajectory.append((frame_id, ref_kf, T_rel))
         return T
+
+    # ------------------------------------------------------------------
+    def _initialize_with_depth(self, frame: Frame, sd, frame_id: int):
+        """Stereo/RGB-D bootstrap (reference Tracking::StereoInitialization):
+        one keyframe at the origin with depth-backprojected landmarks."""
+        n_depth = int((sd.valid & frame.valid).sum())
+        if n_depth < 50:
+            return
+        N = frame.uv.shape[0]
+        m, k = lm.insert_keyframe(self.cfg, self.map, frame, jnp.eye(4),
+                                  frame_id, jnp.full(N, -1, jnp.int32))
+        m = lm.add_depth_points(self.cfg, m, k, sd.depth, close_only=False)
+        m = lm.refresh_point_geometry(self.cfg, m)
+        self.map = m
+        self.state = "OK"
+        self.last_T = np.eye(4, dtype=np.float32)
+        self.last_kp_pt = m.kf_obs_pt[int(k)]
+        self.last_level = frame.level
+        self.velocity = None
+        self.frames_since_kf = 0
+        self.ref_kf_matches = int((m.kf_obs_pt[int(k)] >= 0).sum())
+        self.db.add(int(k), frame.desc, frame.valid)
 
     # ------------------------------------------------------------------
     def _try_initialize(self, frame: Frame, frame_id: int):
@@ -288,6 +352,9 @@ class System:
         m, k = lm.insert_keyframe(cfg, self.map, frame,
                                   jnp.asarray(self.last_T), frame_id,
                                   res.kp_pt)
+        if getattr(self, "_cur_depth", None) is not None:
+            # stereo/RGB-D: close keypoints become landmarks immediately
+            m = lm.add_depth_points(cfg, m, k, self._cur_depth)
         m = lm.create_map_points(cfg, m, k)
         m = lm.fuse_into_neighbors(cfg, m, k)
         m = lm.refresh_point_geometry(cfg, m)

@@ -202,6 +202,44 @@ def render_sequence(cam: CameraConfig, traj: Trajectory, scene: Scene,
                      for T in traj.poses_cw])
 
 
+def render_depth(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
+                 patch: int = 9) -> np.ndarray:
+    """(H, W) float32 depth map consistent with `render_frame`'s painter
+    ordering (landmark squares carry their center depth; background = 0 =
+    invalid, like a Kinect hole)."""
+    h, w = cam.height, cam.width
+    depth = np.zeros((h, w), np.float32)
+    uv, z = _project_np(cam, Tcw, scene.points)
+    vis = (z > 0.3) & (uv[:, 0] >= -30) & (uv[:, 0] < w + 30) \
+        & (uv[:, 1] >= -30) & (uv[:, 1] < h + 30)
+    order = np.argsort(-z)
+    for idx in order:
+        if not vis[idx]:
+            continue
+        cu, cv = float(uv[idx, 0]), float(uv[idx, 1])
+        size = float(np.clip(patch * 16.0 / z[idx], 10.0, 44.0))
+        half = size / 2.0
+        x0 = max(0, int(np.floor(cu - half + 0.5)))
+        x1 = min(w, int(np.ceil(cu + half - 0.5)))
+        y0 = max(0, int(np.floor(cv - half + 0.5)))
+        y1 = min(h, int(np.ceil(cv + half - 0.5)))
+        if y1 > y0 and x1 > x0:
+            depth[y0:y1, x0:x1] = z[idx]
+    return depth
+
+
+def render_stereo_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
+                        baseline: float, seed: int = 0):
+    """(left, right) grayscale pair; right camera displaced by `baseline`
+    along +x of the left camera (rectified geometry)."""
+    left = render_frame(cam, Tcw, scene, seed=seed)
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -baseline  # x_right = x_left - b
+    right = render_frame(cam, (T_rl @ Tcw).astype(np.float32), scene,
+                         seed=seed)
+    return left, right
+
+
 def feature_tracks(cam: CameraConfig, traj: Trajectory, scene: Scene,
                    max_obs: int = 512, noise_px: float = 0.3, seed: int = 0):
     """Feature-level observations bypassing the extractor.
