@@ -311,6 +311,65 @@ class CoopAgent(System):
         return False
 
 
+def serialize_packet(pkt: KeyFramePacket) -> bytes:
+    """Wire encoding (the lcm-gen analog): npz of the packet fields."""
+    import io
+
+    bio = io.BytesIO()
+    np.savez_compressed(
+        bio, agent_id=pkt.agent_id, frame_id=pkt.frame_id, pose=pkt.pose,
+        uv=pkt.uv, level=pkt.level, angle=pkt.angle, desc=pkt.desc,
+        kp_valid=pkt.kp_valid, pt_flag=pkt.pt_flag, pt_world=pkt.pt_world,
+        pt_id=pkt.pt_id)
+    return bio.getvalue()
+
+
+def deserialize_packet(data: bytes) -> KeyFramePacket:
+    import io
+
+    z = np.load(io.BytesIO(data))
+    return KeyFramePacket(
+        agent_id=int(z["agent_id"]), frame_id=int(z["frame_id"]),
+        pose=z["pose"], uv=z["uv"], level=z["level"], angle=z["angle"],
+        desc=z["desc"], kp_valid=z["kp_valid"], pt_flag=z["pt_flag"],
+        pt_world=z["pt_world"], pt_id=z["pt_id"])
+
+
+class UdpBus:
+    """Cross-process transport over the native UDP-multicast bus
+    (coslam_tpu/native) — the direct LCM replacement: channel
+    "KeyFrameexample" semantics, best-effort delivery, receiver-side
+    filtering by sender id (reference ros_mono.cc:602/2399)."""
+
+    CHANNEL = "KeyFrameexample"
+
+    def __init__(self, group_ip: str = "239.255.76.67", port: int = 7667):
+        from coslam_tpu import native
+
+        self._tp = native.Transport(group_ip, port)
+
+    def publish(self, sender: int, pkts: List[KeyFramePacket],
+                subscribers=None):
+        for p in pkts:
+            self._tp.publish(self.CHANNEL, serialize_packet(p))
+
+    def drain(self, agent_id: int, timeout_ms: int = 200
+              ) -> List[KeyFramePacket]:
+        out = []
+        while True:
+            msg = self._tp.receive(timeout_ms=timeout_ms if not out else 20)
+            if msg is None:
+                break
+            _, data = msg
+            pkt = deserialize_packet(data)
+            if pkt.agent_id != agent_id:
+                out.append(pkt)
+        return out
+
+    def close(self):
+        self._tp.close()
+
+
 class InMemoryBus:
     """Loss-less in-process transport (tests / single-host multi-agent).
     The native UDP multicast bus (coslam_tpu/native) is the drop-in
