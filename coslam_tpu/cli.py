@@ -24,19 +24,21 @@ from coslam_tpu.utils import evaluation, io as cio, profiling, synthetic
 
 
 def _run(slam: System, frames, mode: str, depth_factor: float,
-         timer: profiling.StageTimer, limit: int):
+         timer: profiling.StageTimer, limit: int, viewer=None):
     timestamps = []
     for i, fr in enumerate(frames[:limit] if limit else frames):
         img = cio.load_image(fr.rgb_path)
         with timer("track"):
             if mode == "mono":
-                slam.track_mono(img, i)
+                slam.track_mono(img, i, timestamp=fr.timestamp)
             elif mode == "rgbd":
                 depth = cio.load_depth(fr.depth_path, depth_factor)
-                slam.track_rgbd(img, depth, i)
+                slam.track_rgbd(img, depth, i, timestamp=fr.timestamp)
             else:
                 right = cio.load_image(fr.right_path)
-                slam.track_stereo(img, right, i)
+                slam.track_stereo(img, right, i, timestamp=fr.timestamp)
+        if viewer is not None and slam.state != "NOT_INITIALIZED":
+            viewer.update(slam, img, slam.last_frame, i)
         timestamps.append(fr.timestamp)
     return timestamps
 
@@ -53,9 +55,17 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=0, help="max frames")
     p.add_argument("--frames", type=int, default=60,
                    help="synthetic sequence length")
+    p.add_argument("--viz", default=None, metavar="DIR",
+                   help="write frame/map renderings to DIR (the headless "
+                        "analogue of the reference's Pangolin viewer)")
+    p.add_argument("--viz-every", type=int, default=10)
     args = p.parse_args(argv)
 
     timer = profiling.StageTimer()
+    viewer = None
+    if args.viz:
+        from coslam_tpu.viz import Viewer
+        viewer = Viewer(args.viz, every=args.viz_every)
 
     if args.mode == "synthetic":
         cfg = cfg_mod.SystemConfig(
@@ -71,6 +81,8 @@ def main(argv=None):
         for i, img in enumerate(seq_imgs):
             with timer("track"):
                 slam.track_mono(img, i)
+            if viewer is not None and slam.state != "NOT_INITIALIZED":
+                viewer.update(slam, img, slam.last_frame, i)
         ids, poses = slam.trajectory_poses()
         ate = evaluation.ate_rmse(
             evaluation.trajectory_xyz(poses),
@@ -98,7 +110,7 @@ def main(argv=None):
 
     slam = System(cfg)
     timestamps = _run(slam, seq.frames, args.mode, seq.depth_factor, timer,
-                      args.limit)
+                      args.limit, viewer)
     ids, poses = slam.trajectory_poses()
     print(timer.report())
     print(f"frames tracked: {len(ids)} / {len(timestamps)}"

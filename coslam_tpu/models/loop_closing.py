@@ -14,7 +14,7 @@ under the global map mutex.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -242,6 +242,10 @@ class LoopCloser:
         self.db = db
         self.verbose = verbose
         self.last_loop_kf = -10 ** 9
+        # accepted loop pairs (cur_kf, loop_kf) — the analogue of the
+        # reference's KeyFrame::AddLoopEdge records (LoopClosing.cc:561-562),
+        # consumed by the map drawer and the essential-graph edge set
+        self.loop_edges: List[Tuple[int, int]] = []
         self._key = jax.random.PRNGKey(42)
 
     def on_keyframe(self, m: ms.MapState, kf_id: int
@@ -290,5 +294,6 @@ class LoopCloser:
                              pt1, pt2, ok & res.inliers)
             m = global_ba(self.cfg, m)
             self.last_loop_kf = kf_id
+            self.loop_edges.append((kf_id, cand))
             return m, True
         return m, False

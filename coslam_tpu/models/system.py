@@ -137,11 +137,21 @@ class System:
         # System::SaveTrajectoryTUM, System.cc:325-384)
         self.trajectory: List[Tuple[int, int, np.ndarray]] = []
         self.stats: List[dict] = []
+        self.timestamps: dict = {}  # frame_id -> timestamp (for TUM export)
+        # localization-only mode: track against the frozen map, insert no
+        # keyframes (reference System::ActivateLocalizationMode,
+        # System.h:79-84 / System.cc:237-258 -> LocalMapping stopped +
+        # Tracking::InformOnlyTracking)
+        self.localization_only = False
+        self.n_frames_tracked = 0
         self._init_key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
-    def track_mono(self, img: np.ndarray, frame_id: int) -> Optional[np.ndarray]:
+    def track_mono(self, img: np.ndarray, frame_id: int,
+                   timestamp: Optional[float] = None) -> Optional[np.ndarray]:
         frame = build_frame(jnp.asarray(img), self.cfg)
+        self.last_frame = frame  # for viewers (FrameDrawer::Update copies)
+        self._note_frame(frame_id, timestamp)
         self._cur_depth = None
         if self.state == "NOT_INITIALIZED":
             self._try_initialize(frame, frame_id)
@@ -151,25 +161,31 @@ class System:
         return self._log_pose(frame_id, T)
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
-                   frame_id: int) -> Optional[np.ndarray]:
+                   frame_id: int,
+                   timestamp: Optional[float] = None) -> Optional[np.ndarray]:
         """RGB-D tracking (reference System::TrackRGBD, System.cc + Tracking
         ::GrabImageRGBD): sensor depth gives metric scale; initialization is
         a single keyframe with backprojected landmarks."""
         from coslam_tpu.ops import stereo as stereo_ops
 
         frame = build_frame(jnp.asarray(img), self.cfg)
+        self.last_frame = frame
+        self._note_frame(frame_id, timestamp)
         sd = stereo_ops.rgbd_depth(self.cfg.camera, frame.uv, frame.valid,
                                    jnp.asarray(depth))
         return self._track_with_depth(frame, sd, frame_id)
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
-                     frame_id: int) -> Optional[np.ndarray]:
+                     frame_id: int,
+                     timestamp: Optional[float] = None) -> Optional[np.ndarray]:
         """Rectified stereo tracking (reference System::TrackStereo):
         left/right ORB extraction + row-banded descriptor matching yields
         per-keypoint depth; the rest of the pipeline is shared."""
         from coslam_tpu.ops import orb, stereo as stereo_ops
 
         frame = build_frame(jnp.asarray(img_left), self.cfg)
+        self.last_frame = frame
+        self._note_frame(frame_id, timestamp)
         kpsR = orb.extract(jnp.asarray(img_right), self.cfg.extractor)
         kpsL = {"uv": frame.uv, "level": frame.level, "desc": frame.desc,
                 "valid": frame.valid}
@@ -187,6 +203,11 @@ class System:
         else:
             T = self._track(frame, frame_id)
         return self._log_pose(frame_id, T)
+
+    def _note_frame(self, frame_id: int, timestamp: Optional[float]):
+        self.n_frames_tracked += 1
+        self.timestamps[frame_id] = (float(timestamp) if timestamp is not None
+                                     else float(frame_id))
 
     def _log_pose(self, frame_id: int, T) -> Optional[np.ndarray]:
         if T is not None:
@@ -309,7 +330,7 @@ class System:
         self.frames_since_kf += 1
         self.stats.append({"frame": frame_id, "inliers": n_inl, "lost": False})
 
-        if self._need_keyframe(n_inl):
+        if not self.localization_only and self._need_keyframe(n_inl):
             self._insert_keyframe(frame, frame_id, res2)
         return T_np
 
@@ -384,8 +405,94 @@ class System:
     def trajectory_poses(self):
         """(frame ids, (F, 4, 4) Tcw array) reconstructed against current
         keyframe poses (loop/BA corrections propagate)."""
+        if not self.trajectory:
+            return [], np.zeros((0, 4, 4), np.float32)
         kf_poses = np.asarray(self.map.kf_pose)
         ids = [fid for fid, _, _ in self.trajectory]
         poses = np.stack([T_rel @ kf_poses[ref]
                           for _, ref, T_rel in self.trajectory])
         return ids, poses
+
+    # ------------------------------------------------------------------
+    # Facade parity with reference System (include/System.h:79-124)
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Stop mapping; keep tracking against the frozen map (reference
+        System::ActivateLocalizationMode, System.h:80 / System.cc:237)."""
+        self.localization_only = True
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM (System::DeactivateLocalizationMode,
+        System.h:84)."""
+        self.localization_only = False
+
+    def reset(self):
+        """Clear map, place-recognition DB and tracking state (reference
+        System::Reset, System.h:92 -> Tracking::Reset, Tracking.cc:1506:
+        LocalMapping/LoopClosing reset + map clear + reinit)."""
+        self.map = ms.empty_map(self.cfg)
+        self.db = kdb.KeyFrameDatabase(self.cfg)
+        if self.loop_closer is not None:
+            self.loop_closer = lc.LoopCloser(self.cfg, self.db)
+        self.state = "NOT_INITIALIZED"
+        self.ref_frame = None
+        self.ref_frame_id = -1
+        self.last_T = np.eye(4, dtype=np.float32)
+        self.velocity = None
+        self.last_kp_pt = None
+        self.last_level = None
+        self.frames_since_kf = 0
+        self.ref_kf_matches = 0
+        self.trajectory.clear()
+        self.stats.clear()
+        self.timestamps.clear()
+        self.n_loops_closed = 0
+
+    def shutdown(self) -> dict:
+        """Finish all work and report run statistics (reference
+        System::Shutdown, System.h:97, joins the three threads; there are no
+        threads here, so this just finalizes device work and summarizes)."""
+        jax.block_until_ready(self.map.kf_pose)
+        n_kf = int(np.asarray(self.map.kf_valid).sum())
+        n_pt = int(np.asarray(self.map.pt_valid).sum())
+        return {"frames": self.n_frames_tracked, "keyframes": n_kf,
+                "map_points": n_pt, "loops_closed": self.n_loops_closed,
+                "relocalizations": getattr(self, "n_relocalizations", 0)}
+
+    def save_trajectory_tum(self, path: str):
+        """Per-frame camera trajectory in TUM format (System.h:103 /
+        System.cc:325)."""
+        from coslam_tpu.utils import io
+        ids, poses = self.trajectory_poses()
+        ts = [self.timestamps.get(i, float(i)) for i in ids]
+        io.save_trajectory_tum(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """Keyframe-only trajectory in TUM format (System.h:110 /
+        System.cc:386)."""
+        from coslam_tpu.utils import io
+        kf_valid = np.asarray(self.map.kf_valid)
+        poses = np.asarray(self.map.kf_pose)[kf_valid]
+        fids = np.asarray(self.map.kf_frame_id)[kf_valid]
+        ts = [self.timestamps.get(int(i), float(i)) for i in fids]
+        io.save_trajectory_tum(path, ts, poses)
+
+    def save_trajectory_kitti(self, path: str):
+        """Per-frame trajectory in KITTI format (System.h:117 /
+        System.cc:422)."""
+        from coslam_tpu.utils import io
+        _, poses = self.trajectory_poses()
+        io.save_trajectory_kitti(path, poses)
+
+    def get_tracked_map_points(self) -> np.ndarray:
+        """Map-point ids associated to the last frame's keypoints, -1 where
+        none (reference System::GetTrackedMapPoints, System.h:122)."""
+        if self.last_kp_pt is None:
+            return np.empty(0, np.int32)
+        return np.asarray(self.last_kp_pt)
+
+    def get_tracked_keypoints_un(self) -> np.ndarray:
+        """Undistorted keypoints of the last tracked keyframe reference
+        (System::GetTrackedKeyPointsUn, System.h:123)."""
+        k = max(int(self.map.n_kf) - 1, 0)
+        return np.asarray(self.map.kf_uv[k])
