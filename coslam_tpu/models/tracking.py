@@ -71,11 +71,11 @@ def track_motion_model(cfg: SystemConfig, m: MapState, frame: Frame,
     q_ok = q_ok & (z > 0.1)
 
     r = radius * scales[jnp.clip(last_level, 0, scales.shape[0] - 1)]
-    mask = matching.window_mask(uv_pred, frame.uv, r)
-    mask = mask & matching.level_mask(last_level, frame.level, -1, 1)
     q_desc = m.pt_desc[q_pt_safe]
-    mm = matching.match(q_desc, q_ok, frame.desc, frame.valid, cfg.matcher,
-                        mask=mask, max_dist=cfg.matcher.th_high, mutual=True)
+    mm = matching.match_windowed(
+        q_desc, uv_pred, r, q_ok, frame.desc, frame.uv, frame.valid,
+        cfg.matcher, level_q=last_level, level_t=frame.level,
+        level_lo=-1, level_hi=1, max_dist=cfg.matcher.th_high, mutual=True)
     kp_pt = _scatter_assoc(frame.uv.shape[0], mm, q_pt)
     n_matches = (kp_pt >= 0).sum()
 
@@ -149,14 +149,16 @@ def track_local_map(cfg: SystemConfig, m: MapState, frame: Frame,
     pred_level = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(scale_f)),
                           0, n_levels - 1).astype(jnp.int32)
     r = 4.0 * scales[pred_level]
-    mask = matching.window_mask(uv_pred, frame.uv, r)
-    lt = frame.level[None, :]
-    mask = mask & (lt >= pred_level[:, None] - 1) & (lt <= pred_level[:, None] + 1)
     # don't re-match keypoints already associated by motion tracking
     free_kp = frame.valid & (kp_pt_init < 0)
-    mm = matching.match(m.pt_desc, visible, frame.desc, free_kp, cfg.matcher,
-                        mask=mask, max_dist=cfg.matcher.th_high,
-                        ratio=0.8, mutual=True)
+    # fused whole-map projection search: at 32k landmarks the (P, N) mask
+    # matrices of the naive formulation dominate HBM traffic; the Pallas
+    # kernel streams target blocks through VMEM instead
+    mm = matching.match_windowed(
+        m.pt_desc, uv_pred, r, visible, frame.desc, frame.uv, free_kp,
+        cfg.matcher, level_q=pred_level, level_t=frame.level,
+        level_lo=-1, level_hi=1, max_dist=cfg.matcher.th_high,
+        ratio=0.8, mutual=True)
     P = m.pt_pos.shape[0]
     new_assoc = _scatter_assoc(frame.uv.shape[0], mm,
                                jnp.arange(P, dtype=jnp.int32))

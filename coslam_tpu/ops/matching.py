@@ -101,6 +101,86 @@ def match(desc_q, valid_q, desc_t, valid_t, cfg: MatcherConfig,
                    valid=ok)
 
 
+def _pad_to(x, n, fill=0):
+    pad = n - x.shape[0]
+    if pad == 0:
+        return x
+    pad_block = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad_block])
+
+
+def match_windowed(desc_q, uv_pred, radius, valid_q, desc_t, uv_t, valid_t,
+                   cfg: MatcherConfig,
+                   level_q=None, level_t=None,
+                   level_lo: float = -1e9, level_hi: float = 1e9,
+                   max_dist: Optional[int] = None,
+                   ratio: Optional[float] = None, mutual: bool = False,
+                   angle_q=None, angle_t=None) -> Matches:
+    """Windowed projection search (the SearchByProjection family) as a
+    single fused streaming kernel on TPU.
+
+    Equivalent to `match` with window_mask(uv_pred, uv_t, radius) [+ level
+    gate], but never materializes the (N, M) distance/mask matrices: on TPU
+    it calls the Pallas masked matcher (ops/pallas_kernels.masked_match) —
+    for the 32k-landmark local-map search that replaces ~400 MB of HBM
+    intermediates with streamed VMEM blocks.  The mutual check is a second
+    (reversed) kernel pass.  Off-TPU falls back to the XLA formulation.
+    """
+    r = jnp.broadcast_to(jnp.asarray(radius, jnp.float32),
+                         valid_q.shape).astype(jnp.float32)
+    if jax.default_backend() != "tpu":
+        mask = window_mask(uv_pred, uv_t, r)
+        if level_q is not None and level_lo > -100:
+            mask = mask & level_mask(level_q, level_t,
+                                     int(level_lo), int(level_hi))
+        return match(desc_q, valid_q, desc_t, valid_t, cfg, mask=mask,
+                     max_dist=max_dist, ratio=ratio, mutual=mutual,
+                     angle_q=angle_q, angle_t=angle_t)
+
+    from coslam_tpu.ops import pallas_kernels as pk
+
+    N, M = desc_q.shape[0], desc_t.shape[0]
+    Np = -(-N // 256) * 256
+    Mp = -(-M // 256) * 256
+    lq = (level_q.astype(jnp.float32) if level_q is not None
+          else jnp.zeros(N, jnp.float32))
+    lt = (level_t.astype(jnp.float32) if level_t is not None
+          else jnp.zeros(M, jnp.float32))
+    r2 = r * r
+    args = (_pad_to(desc_q, Np), _pad_to(uv_pred.astype(jnp.float32), Np),
+            _pad_to(r2, Np), _pad_to(valid_q, Np), _pad_to(lq, Np),
+            _pad_to(desc_t, Mp), _pad_to(uv_t.astype(jnp.float32), Mp),
+            _pad_to(valid_t, Mp), _pad_to(lt, Mp))
+    best, second, idx = pk.masked_match(
+        args[0], args[1], args[2], args[3], args[5], args[6], args[7],
+        level_q=args[4], level_t=args[8],
+        level_lo=level_lo, level_hi=level_hi)
+    best, second, idx = best[:N], second[:N], jnp.clip(idx[:N], -1, M - 1)
+
+    ok = best < (max_dist if max_dist is not None else cfg.th_low)
+    if ratio is not None:
+        ok = ok & (best.astype(jnp.float32)
+                   < ratio * second.astype(jnp.float32))
+    if mutual:
+        # reverse pass: the window/level gates belong to the original query
+        # side, so they ride the target-side inputs here
+        rbest, _, ridx = pk.masked_match(
+            args[5], args[6], _pad_to(jnp.full(M, 1e18, jnp.float32), Mp),
+            args[7], args[0], args[1], args[3],
+            level_q=args[8], level_t=args[4],
+            level_lo=-level_hi, level_hi=-level_lo,
+            r2_t=args[2])
+        ridx = ridx[:M]
+        safe = jnp.maximum(idx, 0)
+        ok = ok & (ridx[safe] == jnp.arange(N))
+    if cfg.check_orientation and angle_q is not None and angle_t is not None:
+        ok = rotation_consistency(angle_q, angle_t, jnp.maximum(idx, 0), ok,
+                                  cfg.histo_length)
+    return Matches(idx=jnp.where(ok, idx, -1),
+                   dist=jnp.where(ok, best, INF),
+                   valid=ok)
+
+
 def window_mask(uv_pred, uv_t, radius):
     """(N, M) bool: target kp within `radius` px of the predicted location.
 

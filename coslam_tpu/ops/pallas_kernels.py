@@ -133,12 +133,15 @@ def _popcount(x):
     return ((x * _H01) >> 24).astype(jnp.int32)
 
 
-def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, dt_ref, uvt_ref, vt_ref,
-                  best_ref, second_ref, idx_ref, *, block_m: int):
+def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, lq_ref,
+                  dt_ref, uvt_ref, vt_ref, r2t_ref, lt_ref,
+                  best_ref, second_ref, idx_ref, *, block_m: int,
+                  level_lo: float, level_hi: float):
     dq = dq_ref[:]            # (BN, 8) uint32
     uvq = uvq_ref[:]          # (BN, 2)
     r2 = r2_ref[:]            # (BN, 1) f32
     vq = vq_ref[:]            # (BN, 1) int32 0/1
+    lq = lq_ref[:]            # (BN, 1) f32 octave
     BN = dq.shape[0]
     M = dt_ref.shape[0]
 
@@ -149,6 +152,8 @@ def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, dt_ref, uvt_ref, vt_ref,
         dt = dt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 8)
         uvt = uvt_ref[pl.ds(b * block_m, block_m), :]    # (BM, 2)
         vt = vt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 1)
+        r2t = r2t_ref[pl.ds(b * block_m, block_m), :]    # (BM, 1)
+        lt = lt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 1)
         # distances as f32: exact (<= 256), and Mosaic's argmin is f32-only;
         # accumulate per descriptor word to keep VMEM pressure ~3 tiles
         d = jnp.zeros((BN, block_m), jnp.int32)
@@ -162,7 +167,11 @@ def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, dt_ref, uvt_ref, vt_ref,
         dd0 = uvq[:, 0:1] - ut0[None, :]
         dd1 = uvq[:, 1:2] - ut1[None, :]
         d2 = dd0 * dd0 + dd1 * dd1
-        ok = (d2 <= r2) & (vq > 0) & (vt[:, 0][None, :] > 0)
+        ok = (d2 <= r2) & (d2 <= r2t[:, 0][None, :]) \
+            & (vq > 0) & (vt[:, 0][None, :] > 0)
+        if level_lo > -100.0 or level_hi < 100.0:
+            dl = lt[:, 0][None, :] - lq
+            ok = ok & (dl >= level_lo) & (dl <= level_hi)
         d = jnp.where(ok, d, jnp.float32(INF_I32))
 
         bm = jnp.min(d, axis=1)
@@ -183,49 +192,277 @@ def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, dt_ref, uvt_ref, vt_ref,
 
 
 def masked_match(desc_q, uv_q, r2_q, valid_q, desc_t, uv_t, valid_t,
+                 level_q=None, level_t=None,
+                 level_lo: float = -1e9, level_hi: float = 1e9,
+                 r2_t=None,
                  block_n: int = 128, block_m: int = 256):
     """Fused windowed matcher.
 
     desc_q: (N, 8) uint32; uv_q: (N, 2) f32 predicted locations; r2_q: (N,)
-    squared window radii; desc_t/(M, 8), uv_t (M, 2).  Returns (best (N,),
-    second (N,), idx (N,)) int32 — the inputs to ratio/threshold gates.
-    N, M must be multiples of the block sizes (pad with valid=False).
+    squared window radii; desc_t/(M, 8), uv_t (M, 2).  Optional per-target
+    radii r2_t (for the mutual-check reverse pass, where the window belongs
+    to the other side) and octave gates level_t - level_q in
+    [level_lo, level_hi].  Returns (best (N,), second (N,), idx (N,)) int32
+    — the inputs to ratio/threshold gates.  N, M must be multiples of the
+    block sizes (pad with valid=False).
     """
     N = desc_q.shape[0]
     M = desc_t.shape[0]
     assert N % block_n == 0 and M % block_m == 0, (N, M)
+    if level_q is None:
+        level_q = jnp.zeros(N, jnp.float32)
+    if level_t is None:
+        level_t = jnp.zeros(M, jnp.float32)
+    if r2_t is None:
+        r2_t = jnp.full(M, 1e18, jnp.float32)
     grid = (N // block_n,)
-    kernel = functools.partial(_match_kernel, block_m=block_m)
+    kernel = functools.partial(_match_kernel, block_m=block_m,
+                               level_lo=float(level_lo),
+                               level_hi=float(level_hi))
+    qspec = lambda w: pl.BlockSpec((block_n, w), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     best, second, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, 8), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 2), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[qspec(8), qspec(2), qspec(1), qspec(1), qspec(1),
+                  full, full, full, full, full],
+        out_specs=[qspec(1), qspec(1), qspec(1)],
         out_shape=[
             jax.ShapeDtypeStruct((N, 1), jnp.int32),
             jax.ShapeDtypeStruct((N, 1), jnp.int32),
             jax.ShapeDtypeStruct((N, 1), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(desc_q, uv_q, r2_q[:, None], valid_q.astype(jnp.int32)[:, None],
-      desc_t, uv_t, valid_t.astype(jnp.int32)[:, None])
+      level_q.astype(jnp.float32)[:, None],
+      desc_t, uv_t, valid_t.astype(jnp.int32)[:, None],
+      r2_t.astype(jnp.float32)[:, None],
+      level_t.astype(jnp.float32)[:, None])
     return best[:, 0], second[:, 0], idx[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused motion-only bundle adjustment (pose-only LM)
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation (optim/pose_opt.py) is a lax.fori_loop whose body is
+# ~40 small fusions (residual/Jacobian eval, two einsums, a 6x6 LU, the SE3
+# exponential); at 4 rounds x 10 iterations the sequential dispatch chain
+# costs ~2 ms on a TPU chip even though the arithmetic is ~10 MFLOP.  This
+# kernel runs the ENTIRE optimization in one Mosaic program: point/obs
+# arrays live in VMEM as (N/128, 128) tiles, the pose and the 6x6 normal
+# system live in scalar registers, so each LM iteration is one vector pass
+# (residual+Jacobian+27 reductions) plus ~200 scalar ops (unrolled Cholesky,
+# Rodrigues), with no intermediate HBM traffic at all.
+#
+# Semantics match optim/pose_opt.py's reference-parity LM (g2o
+# PoseOptimization, ORB_SLAM2/src/Optimizer.cc:239-451): Huber delta
+# = sqrt(chi2_th) on rounds 1-2, plain quadratic after, chi2 outlier
+# re-classification between rounds, accept/reject damping.
+
+
+def _chol6_scalar(H, b):
+    """Unrolled scalar Cholesky solve of a 6x6 SPD system.
+
+    H: list-of-lists of rank-0 scalars (symmetric, upper filled); b: list.
+    Runs on the TPU scalar core inside the kernel.
+    """
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = H[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return x
+
+
+def _exp_se3_scalar(dx):
+    """SE3 exponential on 6 rank-0 scalars -> (R 3x3 list, t 3 list)."""
+    rx, ry, rz, wx, wy, wz = dx
+    t2 = wx * wx + wy * wy + wz * wz
+    th = jnp.sqrt(t2 + 1e-12)
+    small = t2 < 1e-8
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / (t2 + 1e-12))
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0, (1.0 - A) / (t2 + 1e-12))
+    W = [[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]]
+    W2 = [[-(wy * wy + wz * wz), wx * wy, wx * wz],
+          [wx * wy, -(wx * wx + wz * wz), wy * wz],
+          [wx * wz, wy * wz, -(wx * wx + wy * wy)]]
+    R = [[(1.0 if i == j else 0.0) + A * W[i][j] + B * W2[i][j]
+          for j in range(3)] for i in range(3)]
+    V = [[(1.0 if i == j else 0.0) + B * W[i][j] + C * W2[i][j]
+          for j in range(3)] for i in range(3)]
+    rho = [rx, ry, rz]
+    t = [sum(V[i][k] * rho[k] for k in range(3)) for i in range(3)]
+    return R, t
+
+
+def _pose_lm_kernel(x_ref, y_ref, z_ref, u_ref, v_ref, isg_ref, T_ref,
+                    Tout_ref, inl_ref, *, fx, fy, cx, cy,
+                    rounds, iters, chi2_th):
+    delta = float(np.sqrt(chi2_th))
+    X = x_ref[:]
+    Y = y_ref[:]
+    Z = z_ref[:]
+    U = u_ref[:]
+    V_ = v_ref[:]
+    isg = isg_ref[:]
+    valid = isg > 0.0
+
+    # pose scalars, row-major [R | t] (3, 4)
+    P0 = tuple(T_ref[0, k] for k in range(12))
+
+    def resid(P):
+        """One vector pass: camera-frame points, residuals, chi2, behind."""
+        pcx = P[0] * X + P[1] * Y + P[2] * Z + P[3]
+        pcy = P[4] * X + P[5] * Y + P[6] * Z + P[7]
+        pcz = P[8] * X + P[9] * Y + P[10] * Z + P[11]
+        zs = jnp.where(jnp.abs(pcz) < 1e-6, 1e-6, pcz)
+        iz = 1.0 / zs
+        ru = fx * pcx * iz + cx - U
+        rv = fy * pcy * iz + cy - V_
+        behind = pcz <= 0.05
+        chi2 = (ru * ru + rv * rv) * isg
+        return pcx, pcy, pcz, iz, ru, rv, behind, chi2
+
+    def cost_of(chi2, behind, active, robust):
+        e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        per = jnp.where(robust & (e > delta), delta * (2.0 * e - delta), chi2) \
+            if robust else chi2
+        per = jnp.where(active & jnp.logical_not(behind), per, 0.0)
+        return jnp.sum(per)
+
+    active = valid
+
+    for rnd in range(rounds):
+        robust = rnd < 2
+
+        def lm_iter(i, st):
+            P, lam = st[:12], st[12]
+            P = tuple(P)
+            pcx, pcy, pcz, iz, ru, rv, behind, chi2 = resid(P)
+            e = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            if robust:
+                w_rob = jnp.where(e > delta, delta / e, 1.0)
+            else:
+                w_rob = 1.0
+            ok = active & jnp.logical_not(behind)
+            w = jnp.where(ok, isg * w_rob, 0.0)
+            cost = cost_of(chi2, behind, active, robust)
+
+            # Jacobian components w.r.t. left se3 perturbation [rho, phi]
+            iz2 = iz * iz
+            ju0 = fx * iz
+            ju2 = -fx * pcx * iz2
+            ju3 = -fx * pcx * pcy * iz2
+            ju4 = fx * (1.0 + pcx * pcx * iz2)
+            ju5 = -fx * pcy * iz
+            jv1 = fy * iz
+            jv2 = -fy * pcy * iz2
+            jv3 = -fy * (1.0 + pcy * pcy * iz2)
+            jv4 = fy * pcx * pcy * iz2
+            jv5 = fy * pcx * iz
+            zero = jnp.zeros_like(ju0)
+            Ju = (ju0, zero, ju2, ju3, ju4, ju5)
+            Jv = (zero, jv1, jv2, jv3, jv4, jv5)
+
+            H = [[None] * 6 for _ in range(6)]
+            bv = [None] * 6
+            for a in range(6):
+                for c in range(a, 6):
+                    H[a][c] = jnp.sum(w * (Ju[a] * Ju[c] + Jv[a] * Jv[c]))
+                    H[c][a] = H[a][c]
+                bv[a] = jnp.sum(w * (Ju[a] * ru + Jv[a] * rv))
+
+            for a in range(6):
+                H[a][a] = H[a][a] * (1.0 + lam) + 1e-9
+
+            dx = _chol6_scalar(H, bv)
+            dx = [-d for d in dx]
+            Rd, td = _exp_se3_scalar(dx)
+            # compose T_new = exp(dx) @ T
+            Pn = []
+            for r_ in range(3):
+                for c_ in range(4):
+                    s = Rd[r_][0] * P[0 * 4 + c_] + Rd[r_][1] * P[1 * 4 + c_] \
+                        + Rd[r_][2] * P[2 * 4 + c_]
+                    if c_ == 3:
+                        s = s + td[r_]
+                    Pn.append(s)
+
+            _, _, _, _, _, _, behind2, chi2n = resid(tuple(Pn))
+            cost_new = cost_of(chi2n, behind2, active, robust)
+            improved = cost_new < cost
+            P_out = tuple(jnp.where(improved, pn, p) for pn, p in zip(Pn, P))
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            return P_out + (jnp.clip(lam, 1e-6, 1e3),)
+
+        st = jax.lax.fori_loop(0, iters, lm_iter,
+                               P0 + (jnp.float32(1e-3),))
+        P0 = tuple(st[:12])
+        # chi2 re-classification between rounds (Optimizer.cc:370-444)
+        _, _, _, _, _, _, behind, chi2 = resid(P0)
+        active = valid & jnp.logical_not(behind) & (chi2 < chi2_th)
+
+    for k in range(12):
+        Tout_ref[0, k] = P0[k]
+    inl_ref[:] = active.astype(jnp.float32)
+
+
+def pose_opt_lm(T_init, X, uv, isg_masked, *, fx, fy, cx, cy,
+                rounds, iters, chi2_th):
+    """Fused pose-only LM.  X: (N, 3); uv: (N, 2); isg_masked: (N,) f32 with
+    zeros for invalid observations.  N must be a multiple of 128 (pad with
+    isg=0).  Returns (T (4, 4) f32, inliers (N,) bool)."""
+    N = X.shape[0]
+    assert N % 128 == 0, N
+    R = N // 128
+    sh = (R, 128)
+    x = X[:, 0].reshape(sh)
+    y = X[:, 1].reshape(sh)
+    z = X[:, 2].reshape(sh)
+    u = uv[:, 0].reshape(sh)
+    v = uv[:, 1].reshape(sh)
+    w = isg_masked.reshape(sh)
+    Tflat = T_init[:3, :].reshape(1, 12)
+
+    kernel = functools.partial(
+        _pose_lm_kernel, fx=float(fx), fy=float(fy), cx=float(cx),
+        cy=float(cy), rounds=int(rounds), iters=int(iters),
+        chi2_th=float(chi2_th))
+    Tout, inl = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, 12), jnp.float32),
+                   jax.ShapeDtypeStruct(sh, jnp.float32)],
+        interpret=_interpret(),
+    )(x, y, z, u, v, w, Tflat)
+    T = jnp.concatenate([Tout.reshape(3, 4),
+                         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32)])
+    return T, inl.reshape(N) > 0.5

@@ -27,6 +27,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets its own deterministic stream, so
+    # adding/removing tests never shifts another test's random draws
     return np.random.default_rng(42)

@@ -55,3 +55,50 @@ def test_masked_match_matches_reference(rng):
     has = ref_best < int(pk.INF_I32)
     np.testing.assert_array_equal(np.asarray(idx)[has], ref_idx[has])
     np.testing.assert_array_equal(np.asarray(second), ref_second)
+
+
+def test_pose_opt_lm_matches_reference(rng):
+    """Fused LM kernel vs the XLA reference LM (optim/pose_opt.py body) on a
+    synthetic pose-recovery problem with outliers."""
+    from coslam_tpu.config import CameraConfig, TrackerConfig
+    from coslam_tpu.optim import pose_opt
+    from coslam_tpu.utils import geometry as geo
+
+    cam = CameraConfig(fx=500., fy=500., cx=320., cy=240.,
+                       width=640, height=480)
+    cfg = TrackerConfig()
+    N = 512
+    X = np.stack([rng.uniform(-2, 2, N), rng.uniform(-2, 2, N),
+                  rng.uniform(4, 10, N)], 1).astype(np.float32)
+    w = np.array([0.03, -0.02, 0.05])
+    t = np.array([0.1, -0.05, 0.08])
+    Rg = np.asarray(geo.exp_so3(jnp.asarray(w)))
+    Tgt = np.eye(4, dtype=np.float32)
+    Tgt[:3, :3] = Rg
+    Tgt[:3, 3] = t
+    pc = X @ Rg.T + t
+    uv = np.stack([pc[:, 0] / pc[:, 2] * 500 + 320,
+                   pc[:, 1] / pc[:, 2] * 500 + 240], 1).astype(np.float32)
+    uv += rng.normal(0, 0.5, uv.shape).astype(np.float32)
+    out_idx = rng.choice(N, 60, replace=False)
+    uv[out_idx] += rng.uniform(20, 80, (60, 2)).astype(np.float32)
+    isg = np.ones(N, np.float32)
+
+    Tf, inl = pk.pose_opt_lm(
+        jnp.eye(4), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(isg),
+        fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+        rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
+        chi2_th=cfg.chi2_mono)
+    # recovers the pose and rejects the planted outliers
+    assert float(jnp.abs(Tf - Tgt).max()) < 5e-3
+    assert not bool(inl[out_idx].any())
+    assert int(inl.sum()) > 0.85 * (N - 60)
+
+    # agrees with the XLA reference formulation
+    res = pose_opt._optimize_pose_xla_testonly(cam, jnp.eye(4),
+                                               jnp.asarray(X),
+                                               jnp.asarray(uv),
+                                               jnp.ones(N, bool),
+                                               jnp.asarray(isg), cfg)
+    assert float(jnp.abs(Tf - res.T).max()) < 1e-2
+    assert int((inl == res.inliers).sum()) >= N - 5
