@@ -141,8 +141,15 @@ def _exchange_fn(mesh: Mesh):
             lambda x: jax.lax.all_gather(x, "agent", axis=0, tiled=True),
             blk)
 
-    return jax.jit(jax.shard_map(gather, mesh=mesh, in_specs=(spec_in,),
-                                 out_specs=spec_out))
+    # all_gather(tiled) output is replicated over "agent", but newer JAX
+    # vma inference cannot prove it; disable the check where supported.
+    try:
+        smap = jax.shard_map(gather, mesh=mesh, in_specs=(spec_in,),
+                             out_specs=spec_out, check_vma=False)
+    except TypeError:
+        smap = jax.shard_map(gather, mesh=mesh, in_specs=(spec_in,),
+                             out_specs=spec_out)
+    return jax.jit(smap)
 
 
 def exchange(mesh: Mesh, blocks: Sequence[PacketBlock]) -> PacketBlock:
