@@ -1,0 +1,130 @@
+"""Scaling benchmark: distributed Schur-LM bundle adjustment over a mesh.
+
+The north-star scaling claim (BASELINE.md: 1 chip / 1 host / N hosts) —
+measures wall time of `parallel.sharded_ba.solve_sharded` as the `ba` mesh
+axis grows.  On real multi-chip hardware the observation shards ride ICI;
+in this environment only one real chip (or a virtual CPU mesh) is
+available, so the harness
+
+  * runs the single-device solver and the sharded solver at every device
+    count the platform exposes, and
+  * verifies the sharded result matches the single-device result (the
+    collectives are exercised for real either way).
+
+Per-config it prints one JSON line
+    {"devices": D, "t_solve_s": T, "speedup_vs_1": S, "max_pose_diff": E}
+Virtual CPU devices share one physical socket, so speedups there validate
+the scaling *path*, not the scaling *numbers*; run on a pod for the latter.
+
+Usage:  python bench_scaling.py [--virtual 8] [--obs-per-dev 65536]
+"""
+
+import argparse
+import json
+import os
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--virtual", type=int, default=0,
+                   help="force an N-device virtual CPU platform")
+    p.add_argument("--n-kf", type=int, default=96)
+    p.add_argument("--n-pt", type=int, default=12000)
+    p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--pcg-iters", type=int, default=30)
+    args = p.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.virtual}"
+            ).strip()
+
+    import jax
+    import numpy as np
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+
+    from coslam_tpu.optim import ba
+    from coslam_tpu.parallel import mesh as mesh_lib
+    from coslam_tpu.parallel import sharded_ba
+    from coslam_tpu.config import CameraConfig
+    from coslam_tpu.utils import geometry as geo
+
+    cam = CameraConfig(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                       width=640, height=480)
+
+    # synthetic BA problem: forward-moving trajectory observing a point
+    # cloud; ~n_kf*n_pt/3 observations
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-6, 6, args.n_pt),
+                    rng.uniform(-4, 4, args.n_pt),
+                    rng.uniform(5, 30, args.n_pt)], 1).astype(np.float32)
+    poses = np.stack([
+        np.asarray(geo.exp_se3(np.array(
+            [0.15 * k, 0.02 * k, 0.0, 0.0, 0.01 * k, 0.0], np.float32)))
+        for k in range(args.n_kf)])
+    obs_kf, obs_pt, obs_uv = [], [], []
+    for k in range(args.n_kf):
+        pc = pts @ poses[k][:3, :3].T + poses[k][:3, 3]
+        uv = np.stack([pc[:, 0] / pc[:, 2] * cam.fx + cam.cx,
+                       pc[:, 1] / pc[:, 2] * cam.fy + cam.cy], 1)
+        vis = (pc[:, 2] > 0.5) & (uv[:, 0] > 0) & (uv[:, 0] < cam.width) \
+            & (uv[:, 1] > 0) & (uv[:, 1] < cam.height)
+        idx = np.nonzero(vis)[0]
+        obs_kf.append(np.full(idx.size, k, np.int32))
+        obs_pt.append(idx.astype(np.int32))
+        obs_uv.append(uv[idx] + rng.normal(0, 0.4, (idx.size, 2)))
+    obs_kf = np.concatenate(obs_kf)
+    obs_pt = np.concatenate(obs_pt)
+    obs_uv = np.concatenate(obs_uv).astype(np.float32)
+
+    poses_init = poses.copy()
+    for k in range(2, args.n_kf):
+        poses_init[k] = np.asarray(geo.exp_se3(
+            rng.normal(0, 0.005, 6).astype(np.float32))) @ poses[k]
+    prob = ba.BAProblem(
+        poses=poses_init, points=pts + rng.normal(0, 0.03, pts.shape)
+        .astype(np.float32),
+        obs_kf=obs_kf, obs_pt=obs_pt, obs_uv=obs_uv,
+        obs_w=np.ones(obs_kf.size, np.float32),
+        obs_valid=np.ones(obs_kf.size, bool),
+        kf_fixed=np.arange(args.n_kf) < 2)
+    prob = jax.tree.map(jax.numpy.asarray, prob)
+    print(f"# problem: {args.n_kf} keyframes, {args.n_pt} points, "
+          f"{obs_kf.size} observations, platform={jax.default_backend()}, "
+          f"{jax.device_count()} device(s)")
+
+    def timed(fn, *a, reps=3):
+        out = fn(*a)
+        jax.block_until_ready(out)      # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / reps, out
+
+    t1, ref = timed(lambda: ba.solve(cam, prob, iters=args.iters,
+                                     pcg_iters=args.pcg_iters))
+    print(json.dumps({"devices": 1, "t_solve_s": round(t1, 4),
+                      "speedup_vs_1": 1.0, "max_pose_diff": 0.0}))
+
+    d = 2
+    while d <= jax.device_count():
+        mesh = mesh_lib.make_mesh(n_agents=1, ba_shards=d)
+        td, res = timed(lambda m=mesh: sharded_ba.solve_sharded(
+            cam, prob, m, iters=args.iters, pcg_iters=args.pcg_iters))
+        diff = float(np.abs(np.asarray(res.poses)
+                            - np.asarray(ref.poses)).max())
+        print(json.dumps({"devices": d, "t_solve_s": round(td, 4),
+                          "speedup_vs_1": round(t1 / td, 3),
+                          "max_pose_diff": round(diff, 6)}))
+        d *= 2
+
+
+if __name__ == "__main__":
+    main()

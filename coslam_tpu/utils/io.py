@@ -138,14 +138,20 @@ def load_euroc(root: str) -> Sequence:
     """EuRoC layout: mav0/cam0/data/<ns>.png + data.csv;
     mav0/state_groundtruth_estimate0/data.csv."""
     cam_dir = os.path.join(root, "mav0", "cam0")
+    right_dir = os.path.join(root, "mav0", "cam1", "data")
+    has_right = os.path.isdir(right_dir)
     frames = []
     with open(os.path.join(cam_dir, "data.csv")) as f:
         for line in f:
             if line.startswith("#"):
                 continue
             ns, name = line.strip().split(",")[:2]
+            right = os.path.join(right_dir, name) if has_right else None
+            if right is not None and not os.path.exists(right):
+                right = None
             frames.append(SequenceFrame(
-                float(ns) * 1e-9, os.path.join(cam_dir, "data", name)))
+                float(ns) * 1e-9, os.path.join(cam_dir, "data", name),
+                right_path=right))
     gt_ts, gt_poses = None, None
     gt_csv = os.path.join(root, "mav0", "state_groundtruth_estimate0",
                           "data.csv")
