@@ -24,7 +24,41 @@ Layout (mirrors SURVEY.md section 7):
                 exchange via collectives — replaces pthreads + LCM
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: the System drives ~8 jitted super-stages
+# whose first compile dominates cold-start wall clock on a 2-core host
+# (the reference pays an analogous one-time cost loading its 145 MB
+# vocabulary, System.cc:68-75).  Cache across processes so repeated CLI /
+# bench / test invocations skip recompilation entirely.
+def _enable_compile_cache():
+    if _os.environ.get("COSLAM_NO_COMPILE_CACHE"):
+        return
+    import hashlib
+
+    import jax
+
+    # pool entries by (platform selection, XLA flags): XLA:CPU AOT results
+    # are target-config-specific, and mixing configs in one pool makes the
+    # loader warn about machine-feature mismatches (SIGILL risk)
+    env_key = hashlib.sha1(
+        (_os.environ.get("JAX_PLATFORMS", "") + "|"
+         + _os.environ.get("XLA_FLAGS", "")).encode()).hexdigest()[:8]
+    cache_dir = _os.environ.get(
+        "COSLAM_COMPILE_CACHE",
+        _os.path.expanduser(f"~/.cache/coslam_jax/{env_key}"))
+    try:
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only FS: run without the cache
+
+
+_enable_compile_cache()
 
 from coslam_tpu.config import (  # noqa: F401
     CameraConfig,

@@ -274,6 +274,9 @@ def main(argv=None):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture an XLA profiler trace of the run to DIR "
                         "(TensorBoard format; utils/profiling.trace)")
+    p.add_argument("--no-warmup", action="store_true",
+                   help="skip the parallel ahead-of-time compilation of the "
+                        "pipeline stages (utils/warmup.py)")
     args = p.parse_args(argv)
 
     import contextlib
@@ -281,6 +284,20 @@ def main(argv=None):
         if args.profile:
             stack.enter_context(profiling.trace(args.profile))
         return _dispatch(args, p)
+
+
+def _warmup(cfg, args, timer):
+    """Parallel AOT compile of the pipeline stages (sum-of-compiles ->
+    max-of-compiles on cold caches; a no-op when the persistent compilation
+    cache is warm)."""
+    if getattr(args, "no_warmup", False):
+        return
+    from coslam_tpu.utils import warmup as warmup_mod
+
+    with timer("warmup"):
+        h = warmup_mod.warmup(cfg, blocking=True, verbose=True)
+    for e in h.errors:
+        print(f"warmup error (stage will compile lazily): {e}")
 
 
 def _dispatch(args, p):
@@ -311,6 +328,7 @@ def _dispatch(args, p):
         scene = synthetic.make_scene(600, seed=3)
         traj = synthetic.make_trajectory(args.frames, seed=3)
         seq_imgs = synthetic.render_sequence(cfg.camera, traj, scene)
+        _warmup(cfg, args, timer)
         slam = System(cfg)
         for i, img in enumerate(seq_imgs):
             with timer("track"):
@@ -342,6 +360,7 @@ def _dispatch(args, p):
         cfg = cfg_mod.euroc_config()
     cfg = cfg.replace(sensor=args.mode)
 
+    _warmup(cfg, args, timer)
     slam = System(cfg)
     timestamps = _run(slam, seq.frames, args.mode, seq.depth_factor, timer,
                       args.limit, viewer)

@@ -129,6 +129,9 @@ class MapperConfig:
     local_ba_iters1: int = 5            # Optimizer.cc:453 (5 then 10)
     local_ba_iters2: int = 10
     covis_edge_threshold: int = 15      # KeyFrame.cc:330
+    ba_window: int = 24                 # gathered local-BA window size (free
+                                        # covisible KFs + fixed anchors) —
+                                        # keeps local BA problem-shaped
     # Static capacities of the SoA map
     max_keyframes: int = 256
     max_points: int = 32768
@@ -151,6 +154,16 @@ class LoopConfig:
     global_ba_iters: int = 10          # LoopClosing.cc:650
     vocab_branching: int = 10          # DBoW2-style tree: k
     vocab_depth: int = 3               # levels (k^d words); small tree, dense arrays
+    vocab_words: int = 2048            # flat vocabulary size (overrides k^d;
+                                       # reference ships 1M tree words,
+                                       # ORBvoc.txt — flat 4k trained on the
+                                       # deployment domain is the TPU analog)
+    vocab_retrain_at: Tuple[int, ...] = (4, 16, 64)  # online re-train points
+    max_loop_edges: int = 16           # accumulated loop-edge capacity fed to
+                                       # every essential-graph solve
+    brute_force_shortlist: bool = False  # fall back to all-pairs landmark
+                                         # match counts (O(K N^2)) instead of
+                                         # BoW-gated candidates
     db_min_score_ratio: float = 0.75   # KeyFrameDatabase.cc group gate
     db_min_words_ratio: float = 0.8
 

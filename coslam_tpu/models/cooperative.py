@@ -156,6 +156,7 @@ class CoopAgent(System):
         P = cfg.mapper.max_points
         self.kf_agent = np.full(K, -1, np.int32)
         self.pt_agent = np.full(P, -1, np.int32)
+        self._kf_sent = np.zeros(K, bool)
         # sender (agent, pt_id) -> local pt slot (dedup across packets,
         # mirroring the reference's global-MapPoint-id reconstruction)
         self._foreign_pt: Dict[Tuple[int, int], int] = {}
@@ -181,16 +182,54 @@ class CoopAgent(System):
             self.pt_agent[np.asarray(self.map.pt_valid)
                           & (self.pt_agent < 0)] = self.agent_id
 
+    def _remap_after_compact(self, old, new_m, kf_map, pt_map):
+        super()._remap_after_compact(old, new_m, kf_map, pt_map)
+        kf_agent = np.full_like(self.kf_agent, -1)
+        keep = kf_map >= 0
+        kf_agent[kf_map[keep]] = self.kf_agent[: len(kf_map)][keep]
+        self.kf_agent = kf_agent
+        pt_agent = np.full_like(self.pt_agent, -1)
+        keepp = pt_map >= 0
+        pt_agent[pt_map[keepp]] = self.pt_agent[: len(pt_map)][keepp]
+        self.pt_agent = pt_agent
+        self._foreign_pt = {key: int(pt_map[v])
+                            for key, v in self._foreign_pt.items()
+                            if v < len(pt_map) and pt_map[v] >= 0}
+        sent = np.zeros_like(self._kf_sent)
+        sent[kf_map[keep]] = self._kf_sent[: len(kf_map)][keep]
+        self._kf_sent = sent
+
+    def _set_cfg(self, cfg2):
+        super()._set_cfg(cfg2)
+        K2 = cfg2.mapper.max_keyframes
+        P2 = cfg2.mapper.max_points
+        if K2 > len(self.kf_agent):
+            self.kf_agent = np.concatenate(
+                [self.kf_agent, np.full(K2 - len(self.kf_agent), -1,
+                                        np.int32)])
+        if P2 > len(self.pt_agent):
+            self.pt_agent = np.concatenate(
+                [self.pt_agent, np.full(P2 - len(self.pt_agent), -1,
+                                        np.int32)])
+        if K2 > len(self._kf_sent):
+            self._kf_sent = np.concatenate(
+                [self._kf_sent, np.zeros(K2 - len(self._kf_sent), bool)])
+
     # -- sender ------------------------------------------------------------
     def drain_packets(self, max_batch: int = 10) -> List[KeyFramePacket]:
         """Publish keyframes not yet sent (reference cadence: <= 10 KFs per
         batch, ros_mono.cc:1948)."""
         n_kf = int(self.map.n_kf)
+        kf_valid = np.asarray(self.map.kf_valid)
         out = []
-        while self._published_kfs < n_kf and len(out) < max_batch:
-            k = self._published_kfs
-            if self.kf_agent[k] == self.agent_id:
-                out.append(pack_keyframe(self.map, k, self.agent_id))
+        for k in range(n_kf):
+            if len(out) >= max_batch:
+                break
+            if self._kf_sent[k] or self.kf_agent[k] != self.agent_id \
+                    or not kf_valid[k]:
+                continue
+            out.append(pack_keyframe(self.map, k, self.agent_id))
+            self._kf_sent[k] = True
             self._published_kfs += 1
         return out
 
@@ -201,10 +240,8 @@ class CoopAgent(System):
         attempt cross-agent alignment.  Returns True if a merge happened."""
         if self.state != "OK":
             return False
+        self._ensure_capacity()   # recycle/grow slots like local insertion
         m = self.map
-        K = m.kf_pose.shape[0]
-        if int(m.n_kf) >= K:
-            return False
         # if this agent's frame is already aligned, transform the packet
         # into the local world frame on arrival
         if pkt.agent_id in self._agent_sim3:
@@ -254,12 +291,34 @@ class CoopAgent(System):
         k = int(k)
         self.kf_agent[k] = pkt.agent_id
         self.db.add(k, frame.desc, frame.valid)
+        self.db.maybe_retrain(m)
+
+        # the foreign keyframe gets the FULL backend treatment, exactly like
+        # a local one (reference hands wire-reconstructed KFs to LocalMapping
+        # at ros_mono.cc:2163 -> CreateNewMapPoints among received keyframes
+        # LocalMapping.cc:207, SearchInNeighbors :454, local BA, culling).
+        # Pre-merge this densifies the foreign sub-map in its own frame
+        # (covisibility keeps the windows within the sub-map); post-merge it
+        # integrates across agents.
+        m = lm.backend_post_insert(self.cfg, m, jnp.asarray(k))
         self.map = m
+        # new triangulated points belong to the sub-map of their keyframe
+        self.pt_agent[np.asarray(self.map.pt_valid)
+                      & (self.pt_agent < 0)] = pkt.agent_id
 
         if not self.merged_agents.get(pkt.agent_id):
             return self._try_merge(k, pkt.agent_id)
-        # already aligned: let the normal backend integrate further
-        self.map = lm.refresh_point_geometry(self.cfg, self.map)
+        # already aligned: keep cross-agent place recognition ALIVE — later
+        # drift between the sub-maps is re-corrected by standard loop
+        # closing between local and foreign keyframes (SURVEY section 3.5;
+        # the reference gets this from its LoopClosing thread continuously,
+        # not once)
+        if self.loop_closer is not None:
+            m, closed = self.loop_closer.on_keyframe(self.map, k)
+            self.map = m
+            if closed:
+                self.n_merges += 1
+                return True
         return False
 
     # -- cross-agent alignment --------------------------------------------

@@ -26,23 +26,26 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from coslam_tpu.config import SystemConfig
 from coslam_tpu.models import map_state as ms
 from coslam_tpu.ops import bow
 
-TRAIN_AFTER_KFS = 4  # freeze the vocabulary once this many KFs accumulated
+_covis_jit = jax.jit(ms.covisibility)
 
 
 class KeyFrameDatabase:
     def __init__(self, cfg: SystemConfig, vocab: Optional[np.ndarray] = None):
         self.cfg = cfg
-        W = cfg.loop.vocab_branching ** cfg.loop.vocab_depth
+        W = cfg.loop.vocab_words or \
+            cfg.loop.vocab_branching ** cfg.loop.vocab_depth
         self._vocab_np = (vocab if vocab is not None
                           else bow.synthetic_default_vocabulary(W))
         self.vocab = jnp.asarray(self._vocab_np)
         self.n_words = int(self.vocab.shape[0])
-        self._trained = vocab is not None
-        self._train_descs: List[np.ndarray] = []
+        self._external_vocab = vocab is not None
+        self._n_added = 0
         K = cfg.mapper.max_keyframes
         self.bows = np.zeros((K, self.n_words), np.float32)  # raw tf, L1-normed
         self.has = np.zeros(K, bool)
@@ -54,29 +57,58 @@ class KeyFrameDatabase:
         return np.asarray(bow.bow_vector(words, valid, self.n_words))
 
     def add(self, kf_id: int, desc: jnp.ndarray, valid: jnp.ndarray):
-        if not self._trained:
-            self._train_descs.append(
-                np.asarray(desc)[np.asarray(valid)])
-            if len(self._train_descs) >= TRAIN_AFTER_KFS:
-                self._train_vocab()
         self.bows[kf_id] = self.compute_bow(desc, valid)
         self.has[kf_id] = True
-        # keep raw descriptors until training happens (to recompute rows)
-        if not self._trained:
-            self._pending = getattr(self, "_pending", {})
-            self._pending[kf_id] = (desc, valid)
+        self._n_added += 1
 
-    def _train_vocab(self):
-        descs = np.concatenate(self._train_descs, 0)
-        if descs.shape[0] >= self.n_words // 2:
-            self._vocab_np = bow.train_vocabulary(
-                descs, self.n_words, iters=6, seed=0)
-            self.vocab = jnp.asarray(self._vocab_np)
-        self._trained = True
-        self._train_descs = []
-        for kf_id, (desc, valid) in getattr(self, "_pending", {}).items():
-            self.bows[kf_id] = self.compute_bow(desc, valid)
-        self._pending = {}
+    def maybe_retrain(self, m: ms.MapState):
+        """Online vocabulary (re)training at growth milestones (reference
+        ships a 1M-word vocabulary pre-trained on broad imagery,
+        System.cc:61-72; here the vocabulary adapts to the deployment
+        domain): binary k-means over descriptors of ALL current keyframes,
+        then every stored BoW row is recomputed under the new words."""
+        if self._external_vocab or \
+                self._n_added not in self.cfg.loop.vocab_retrain_at:
+            return
+        kf_valid = np.asarray(m.kf_valid)
+        if not kf_valid.any():
+            return
+        desc = np.asarray(m.kf_desc)[kf_valid]
+        kp_ok = np.asarray(m.kf_kp_valid)[kf_valid]
+        pool = desc[kp_ok]                         # (n_desc, 8)
+        if pool.shape[0] < 512:
+            return
+        rng = np.random.default_rng(0)
+        if pool.shape[0] > 60000:
+            pool = pool[rng.choice(pool.shape[0], 60000, replace=False)]
+        self._vocab_np = bow.train_vocabulary(
+            pool, self.n_words, iters=6, seed=0)
+        self.vocab = jnp.asarray(self._vocab_np)
+        # recompute every stored row under the new vocabulary
+        for k in np.nonzero(self.has & kf_valid[: len(self.has)])[0]:
+            self.bows[k] = self.compute_bow(m.kf_desc[int(k)],
+                                            m.kf_kp_valid[int(k)])
+
+    # ------------------------------------------------------------------
+    def remap(self, kf_map: np.ndarray, new_K: int):
+        """Repack BoW rows after map compaction (models/compaction.py):
+        row i moves to kf_map[i]; culled rows are dropped.  Consistency
+        chains reference old indices, so they restart."""
+        bows = np.zeros((new_K, self.n_words), np.float32)
+        has = np.zeros(new_K, bool)
+        src = np.nonzero(kf_map >= 0)[0]
+        bows[kf_map[src]] = self.bows[src]
+        has[kf_map[src]] = self.has[src]
+        self.bows, self.has = bows, has
+        self._consistent_groups = []
+
+    def grow(self, new_K: int):
+        if new_K <= self.bows.shape[0]:
+            return
+        pad = new_K - self.bows.shape[0]
+        self.bows = np.concatenate(
+            [self.bows, np.zeros((pad, self.n_words), np.float32)])
+        self.has = np.concatenate([self.has, np.zeros(pad, bool)])
 
     # ------------------------------------------------------------------
     def scores_against_all(self, kf_id: int) -> np.ndarray:
@@ -135,7 +167,7 @@ class KeyFrameDatabase:
             self._consistent_groups = []
             return []
 
-        covis_all = np.asarray(ms.covisibility(m))
+        covis_all = np.asarray(_covis_jit(m))
         enough: List[Tuple[float, int]] = []
         new_groups: List[tuple] = []
         for c in cand:

@@ -91,20 +91,24 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
     cam = cfg.camera
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
     sigma2 = jnp.asarray(cfg.extractor.level_sigma2, jnp.float32)
-    covis = ms.covisibility(m)[kf_id]                 # (K,)
-    covis = covis.at[kf_id].set(0)
+    covis = ms.covisibility_row(m, kf_id)             # (K,)
     _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
     nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
 
     T1 = m.kf_pose[kf_id]
     uv1 = m.kf_uv[kf_id]
     lvl1 = m.kf_level[kf_id]
-    free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
     C1 = -_he("ji,j->i", T1[:3, :3], T1[:3, 3])
 
-    for j in range(N_TRIANG_NEIGHBORS):
-        k2 = neighbors[j]
-        pair_ok = nb_ok[j] & m.kf_valid[k2]
+    # one neighbor pair per scan step: the pair body (epipolar-gated match +
+    # batched DLT triangulation + checks) is instantiated once in the HLO
+    # instead of N_TRIANG_NEIGHBORS times (compile cost), while the slot
+    # allocation stays sequential exactly as the reference's per-neighbor
+    # loop requires
+    def pair_body(m, inputs):
+        k2, pair_ok_in = inputs
+        free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+        pair_ok = pair_ok_in & m.kf_valid[k2]
         T2 = m.kf_pose[k2]
         uv2 = m.kf_uv[k2]
         lvl2 = m.kf_level[k2]
@@ -203,8 +207,9 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
         row2 = jnp.concatenate([row2, jnp.full(1, -1, jnp.int32)])
         row2 = row2.at[tgt].set(jnp.where(can, new_id, -1))[:-1]
         m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k2].set(row2))
-        free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+        return m, None
 
+    m, _ = jax.lax.scan(pair_body, m, (neighbors, nb_ok))
     return m
 
 
@@ -222,14 +227,67 @@ def cull_points(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     return m._replace(pt_valid=m.pt_valid & ~bad)
 
 
+MEDOID_OBS = 8  # observations per landmark entering the medoid computation
+
+
+def _medoid_descriptors(m: ms.MapState, obs_pt, obs_valid):
+    """Per-landmark representative descriptor = the observation descriptor
+    with the smallest MEDIAN Hamming distance to the landmark's other
+    observations (reference MapPoint::ComputeDistinctiveDescriptors,
+    MapPoint.cc:242-296), batched over all landmarks.
+
+    The (K,N) observation table is sorted by landmark id so each landmark's
+    observations are contiguous; up to MEDOID_OBS of them are gathered into
+    a dense (P, M) window and an (P, M, M) packed-XOR-popcount distance cube
+    selects the medoid.  Returns (desc (P, 8) u32, has (P,) bool).
+    """
+    K, N = m.kf_obs_pt.shape
+    P = m.pt_pos.shape[0]
+    M = MEDOID_OBS
+    # sort observation slots by landmark (invalid -> sentinel P, sorts last)
+    pt_key = jnp.where(obs_valid, obs_pt, P)
+    order = jnp.argsort(pt_key)
+    sorted_pt = pt_key[order]
+    # each landmark's first M observations
+    start = jnp.searchsorted(sorted_pt, jnp.arange(P))
+    end = jnp.searchsorted(sorted_pt, jnp.arange(P), side="right")
+    idx = start[:, None] + jnp.arange(M)[None, :]           # (P, M)
+    within = idx < end[:, None]
+    flat = order[jnp.clip(idx, 0, K * N - 1)]               # obs slot ids
+    d_all = m.kf_desc.reshape(K * N, -1)
+    descs = d_all[flat]                                     # (P, M, 8) u32
+    # (P, M, M) Hamming via XOR + popcount on packed words
+    from coslam_tpu.ops import hamming
+
+    x = descs[:, :, None, :] ^ descs[:, None, :, :]
+    pop = hamming.popcount_u32(x).sum(-1).astype(jnp.int32)  # (P, M, M)
+    pair_ok = within[:, :, None] & within[:, None, :]
+    BIG = jnp.int32(1 << 15)
+    pop = jnp.where(pair_ok, pop, BIG)
+    # median over each row's valid entries: sort ascending, pick (cnt-1)//2
+    cnt = within.sum(1)                                     # (P,)
+    srt = jnp.sort(pop, axis=2)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, M - 1)
+    med = jnp.take_along_axis(
+        srt, med_idx[:, None, None].repeat(M, 1), axis=2)[..., 0]  # (P, M)
+    med = jnp.where(within, med, BIG)
+    best_row = jnp.argmin(med, axis=1)                      # (P,)
+    desc = jnp.take_along_axis(
+        descs, best_row[:, None, None].repeat(descs.shape[-1], 2),
+        axis=1)[:, 0, :]
+    return desc, cnt > 0
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     """Recompute representative descriptor / normal / scale range from the
     current observation table (reference MapPoint::ComputeDistinctive-
     Descriptors :242 + UpdateNormalAndDepth :330, run in batch).
 
-    Descriptor policy: the most recent observation's descriptor (cheap
-    batched approximation of the reference's median-distance medoid).
+    Descriptor policy: median-Hamming medoid over up to MEDOID_OBS
+    observations (the reference's policy; keeps the landmark's appearance
+    model stable under viewpoint revisits, which loop-closure matching
+    depends on).
     """
     K, N = m.kf_obs_pt.shape
     P = m.pt_pos.shape[0]
@@ -246,13 +304,14 @@ def refresh_point_geometry(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     normal = nsum / jnp.maximum(cnt[:, None], 1.0)
     normal = normal / (jnp.linalg.norm(normal, axis=1, keepdims=True) + 1e-9)
 
-    # latest observation -> descriptor + reference depth
+    # latest observation -> reference keyframe + scale range; medoid over
+    # the observation window -> representative descriptor
     code = jnp.where(obs_valid, obs_kf * N + (jnp.arange(K * N) % N), -1)
     best_code = jnp.full(P, -1, jnp.int32).at[obs_pt].max(code)
     has = best_code >= 0
     bk = jnp.maximum(best_code, 0) // N
     bn = jnp.maximum(best_code, 0) % N
-    desc = m.kf_desc[bk, bn]
+    desc, _ = _medoid_descriptors(m, obs_pt, obs_valid)
     dist_ref = jnp.linalg.norm(m.pt_pos - centers[bk], axis=1)
     max_dist = dist_ref * scales[m.kf_level[bk, bn]]
 
@@ -338,21 +397,20 @@ def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState
 
     cam = cfg.camera
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
-    covis = ms.covisibility(m)[kf_id]
-    covis = covis.at[kf_id].set(0)
+    covis = ms.covisibility_row(m, kf_id)
     _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
     nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
     obs_count = ms.point_obs_count(m)
 
-    src_pt = m.kf_obs_pt[kf_id]                       # (N,)
-    src_ok = src_pt >= 0
-    src_pt_safe = jnp.maximum(src_pt, 0)
-    X = m.pt_pos[src_pt_safe]
-    desc = m.pt_desc[src_pt_safe]
-
-    for j in range(N_TRIANG_NEIGHBORS):
-        k2 = neighbors[j]
-        pair_ok = nb_ok[j] & m.kf_valid[k2]
+    # scan over neighbors: one HLO instantiation of the fuse body
+    def fuse_body(m, inputs):
+        k2, pair_ok_in = inputs
+        src_pt = m.kf_obs_pt[kf_id]                   # (N,)
+        src_ok = src_pt >= 0
+        src_pt_safe = jnp.maximum(src_pt, 0)
+        X = m.pt_pos[src_pt_safe]
+        desc = m.pt_desc[src_pt_safe]
+        pair_ok = pair_ok_in & m.kf_valid[k2]
         T2 = m.kf_pose[k2]
         pc = geo.transform_points(T2, X)
         z = pc[:, 2]
@@ -390,6 +448,9 @@ def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState
         pt_to = jnp.where(keep_tgt, jnp.maximum(tgt_pt, 0), src_pt_safe)
         from coslam_tpu.models import loop_closing as _lc
         m = _lc.fuse_landmarks(cfg, m, pt_from, pt_to, dup)
+        return m, None
+
+    m, _ = jax.lax.scan(fuse_body, m, (neighbors, nb_ok))
     return m
 
 
@@ -417,7 +478,7 @@ def cull_keyframes(cfg: SystemConfig, m: ms.MapState, center) -> ms.MapState:
     n_obs = ok.sum(1)
     frac = redundant.sum(1) / jnp.maximum(n_obs, 1)
 
-    covis = ms.covisibility(m)[center]
+    covis = ms.covisibility_row(m, center)
     candidate = (covis >= cfg.mapper.covis_edge_threshold) & m.kf_valid
     candidate = candidate & (jnp.arange(K) >= 2) & (jnp.arange(K) != center)
     cull = candidate & (frac > cfg.mapper.kf_culling_redundancy) & (n_obs > 20)
@@ -429,35 +490,103 @@ def cull_keyframes(cfg: SystemConfig, m: ms.MapState, center) -> ms.MapState:
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def local_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 6) -> ms.MapState:
-    """Local bundle adjustment around the newest keyframe (reference
-    Optimizer::LocalBundleAdjustment, Optimizer.cc:453): covisible keyframes
-    are free, all others fixed; points seen by the local set are adjusted;
-    outlier observations are detached afterwards."""
-    center = m.n_kf - 1
-    covis = ms.covisibility(m)
-    local = (covis[center] >= cfg.mapper.covis_edge_threshold)
-    local = local.at[center].set(True)
-    local = local & m.kf_valid
+    """Local bundle adjustment around the newest keyframe."""
+    return local_ba_body(cfg, m, m.n_kf - 1, iters)
 
-    obs_kf, obs_pt, obs_uv, obs_level, obs_valid = ms.observation_coo(m)
-    P = m.pt_pos.shape[0]
-    # points seen from the local window
-    pt_local = jnp.zeros(P, bool).at[obs_pt].max(obs_valid & local[obs_kf])
-    obs_active = obs_valid & pt_local[obs_pt]
 
+def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
+                  iters: int = 6) -> ms.MapState:
+    """Windowed local bundle adjustment (reference
+    Optimizer::LocalBundleAdjustment, Optimizer.cc:453).
+
+    Problem-shaped, not capacity-shaped: the W most covisible keyframes of
+    `center` are *gathered* into a dense (W, N)-observation subproblem —
+    those above the covisibility threshold are free (the reference's
+    lLocalKeyFrames), the rest of the window act as fixed anchors (the
+    reference's lFixedCameras: observers of local points that are not
+    themselves local).  Per-insertion BA cost is therefore O(W*N)
+    independent of the keyframe capacity K.  Points stay at full capacity P
+    (a segment-sum axis, cheap); points unobserved by the window receive
+    zero gradient and do not move.  Outlier observations are detached
+    afterwards (Optimizer.cc local-BA epilogue).
+    """
+    K, N = m.kf_obs_pt.shape
+    W = min(cfg.mapper.ba_window, K)
+    covis = ms.covisibility_row(m, center)
+    row = jnp.where(m.kf_valid, covis, -1)
+    row = row.at[center].set(1 << 20)                  # center always rank 0
+    w_vals, kf_sel = jax.lax.top_k(row, W)
+    is_center = jnp.arange(W) == 0
+    free = ((w_vals >= cfg.mapper.covis_edge_threshold) | is_center) \
+        & m.kf_valid[kf_sel] & (kf_sel != 0)
+    # gauge: if the window has no anchor (all selected KFs free), fix the
+    # oldest one (the reference's g2o problems always carry fixed vertices)
+    no_anchor = jnp.all(free | ~m.kf_valid[kf_sel])
+    oldest = jnp.argmin(jnp.where(m.kf_valid[kf_sel] & ~is_center, kf_sel,
+                                  jnp.int32(1 << 20)))
+    free = jnp.where(no_anchor & (jnp.arange(W) == oldest) & (W > 1),
+                     False, free)
+
+    obs_pt_w = m.kf_obs_pt[kf_sel]                     # (W, N)
+    obs_valid = (m.kf_valid[kf_sel][:, None] & m.kf_kp_valid[kf_sel]
+                 & (obs_pt_w >= 0)).reshape(-1)
+    obs_pt = jnp.maximum(obs_pt_w.reshape(-1), 0)
+    obs_valid = obs_valid & m.pt_valid[obs_pt]
+    obs_level = m.kf_level[kf_sel].reshape(-1)
     inv_sigma2 = 1.0 / jnp.asarray(cfg.extractor.level_sigma2,
                                    jnp.float32)[obs_level]
     prob = ba.BAProblem(
-        poses=m.kf_pose, points=m.pt_pos,
-        obs_kf=obs_kf, obs_pt=obs_pt, obs_uv=obs_uv,
-        obs_w=inv_sigma2, obs_valid=obs_active,
-        kf_fixed=~local | (jnp.arange(local.shape[0]) == 0),
+        poses=m.kf_pose[kf_sel], points=m.pt_pos,
+        obs_kf=jnp.repeat(jnp.arange(W, dtype=jnp.int32), N),
+        obs_pt=obs_pt, obs_uv=m.kf_uv[kf_sel].reshape(-1, 2),
+        obs_w=inv_sigma2, obs_valid=obs_valid, kf_fixed=~free,
     )
     res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
-    # detach outlier observations (Optimizer.cc local BA epilogue)
-    K, N = m.kf_obs_pt.shape
-    outlier = (obs_active & ~res.obs_inlier).reshape(K, N)
+    new_pose = jnp.where(free[:, None, None], res.poses, m.kf_pose[kf_sel])
+    outlier = (obs_valid & ~res.obs_inlier).reshape(W, N)
+    new_rows = jnp.where(outlier, -1, obs_pt_w)
     return m._replace(
-        kf_pose=res.poses, pt_pos=res.points,
-        kf_obs_pt=jnp.where(outlier, -1, m.kf_obs_pt),
+        kf_pose=m.kf_pose.at[kf_sel].set(new_pose),
+        pt_pos=res.points,
+        kf_obs_pt=m.kf_obs_pt.at[kf_sel].set(new_rows),
     )
+
+
+def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
+    """The LocalMapping::Run iteration after a keyframe lands in slot k
+    (reference LocalMapping.cc:37-94: CreateNewMapPoints, SearchInNeighbors,
+    MapPointCulling, local BA, KeyFrameCulling)."""
+    m = create_map_points(cfg, m, k)
+    m = fuse_into_neighbors(cfg, m, k)
+    m = refresh_point_geometry(cfg, m)
+    m = local_ba_body(cfg, m, k, iters=6)
+    m = cull_points(cfg, m)
+    m = cull_keyframes(cfg, m, k)
+    m = refresh_point_geometry(cfg, m)
+    return m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
+                   T, frame_id, kp_pt, has_depth: bool = False,
+                   kp_depth=None) -> Tuple[ms.MapState, jnp.ndarray]:
+    """The full post-insertion backend as ONE jitted program — the entire
+    LocalMapping::Run iteration (reference LocalMapping.cc:37-94:
+    ProcessNewKeyFrame, MapPointCulling, CreateNewMapPoints,
+    SearchInNeighbors, local BA, KeyFrameCulling) fused into a single XLA
+    executable so that keyframe insertion costs one dispatch and one compile
+    instead of eight."""
+    m, k = insert_keyframe(cfg, m, frame, T, frame_id, kp_pt)
+    if has_depth:
+        m = add_depth_points(cfg, m, k, kp_depth)
+    return _post_insert_body(cfg, m, k), k
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def backend_post_insert(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
+    """Standalone fused backend pass for a keyframe already in the map —
+    used for wire-reconstructed FOREIGN keyframes, which must receive the
+    same treatment as local ones (reference hands received keyframes to
+    LocalMapping at ros_mono.cc:2163: triangulation among received KFs,
+    fusion, local BA, culling)."""
+    return _post_insert_body(cfg, m, k)

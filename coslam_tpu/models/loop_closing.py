@@ -80,6 +80,30 @@ def match_counts_all(cfg: SystemConfig, m: ms.MapState, kf_id):
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
+def match_counts_subset(cfg: SystemConfig, m: ms.MapState, kf_id, cands):
+    """Landmark-level match counts of `kf_id` against a SHORTLIST of
+    candidate keyframes (C,) — the geometric pre-verification applied to
+    BoW candidates only, so the per-insertion cost is O(C N^2), not
+    O(K N^2)."""
+    from coslam_tpu.ops import hamming
+
+    has_q = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] >= 0)
+    desc_q = m.kf_desc[kf_id]
+
+    def one(c):
+        has_t = m.kf_kp_valid[c] & (m.kf_obs_pt[c] >= 0) & m.kf_valid[c]
+        d = hamming.pairwise_hamming_mxu(desc_q, m.kf_desc[c])
+        d = jnp.where(has_q[:, None] & has_t[None, :], d, matching.INF)
+        best = jnp.min(d, axis=1)
+        bidx = jnp.argmin(d, axis=1)
+        col_best = jnp.argmin(d, axis=0)
+        mutual = col_best[bidx] == jnp.arange(d.shape[0])
+        return ((best < cfg.matcher.th_high) & mutual).sum()
+
+    return jax.vmap(one)(cands)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
 def sim3_between(cfg: SystemConfig, m: ms.MapState, k1, k2,
                  idx2, pt1, pt2, ok, key):
     """RANSAC Sim3 S21 with x_k2cam ~ S21(x_k1cam) from matched landmarks
@@ -115,6 +139,10 @@ def fuse_landmarks(cfg: SystemConfig, m: ms.MapState, pt_from, pt_to,
     return m._replace(kf_obs_pt=obs, pt_valid=m.pt_valid & ~fused_away)
 
 
+_covis_row_jit = jax.jit(ms.covisibility_row)
+_covis_jit = jax.jit(ms.covisibility)
+
+
 def _all_pair_edges(K: int):
     """Static upper-triangle pair enumeration (E = K(K-1)/2)."""
     ii, jj = np.triu_indices(K, 1)
@@ -123,7 +151,8 @@ def _all_pair_edges(K: int):
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
-                 s21, R21, t21, pt1, pt2, pair_ok):
+                 s21, R21, t21, pt1, pt2, pair_ok,
+                 prev_loops=None, prev_loops_valid=None):
     """Apply a verified loop closure (reference LoopClosing::CorrectLoop,
     LoopClosing.cc:402-601).
 
@@ -142,7 +171,8 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
     S_loop_w = geo.sim3_from_se3(m.kf_pose[kf_loop])
     S_cw_new = geo.sim3_compose(geo.sim3_inverse(S21), S_loop_w)
 
-    covis = ms.covisibility(m)[kf_cur]
+    covis_m = ms.covisibility(m)
+    covis = covis_m[kf_cur]
     window = (covis >= cfg.mapper.covis_edge_threshold)
     window = window.at[kf_cur].set(True)
     window = window & m.kf_valid
@@ -161,16 +191,36 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
         R=jnp.where(window[:, None, None], S_iw_new["R"], v_old.R),
         t=jnp.where(window[:, None], S_iw_new["t"], v_old.t))
 
-    # ---- 3. essential graph: sequential + strong-covisibility + loop edge,
-    # measurements from pre-correction relative poses (the drift-consistent
-    # odometry), loop edge from the verified Sim3
+    # ---- 3. essential graph (reference Optimizer::OptimizeEssentialGraph,
+    # Optimizer.cc:869-980): spanning-tree edges + sequential neighbors +
+    # strong-covisibility edges + ALL past loop edges + the new loop edge.
+    # Measurements come from pre-correction relative poses (the drift-
+    # consistent odometry); the new loop edge from the verified Sim3.
     ei, ej = _all_pair_edges(K)
-    w_pair = ms.covisibility(m)[ei, ej]
+    w_pair = covis_m[ei, ej]
     seq = (ej - ei) == 1
     strong = w_pair >= cfg.loop.essential_graph_covis_w
+    # derived spanning tree: each keyframe's parent is its most covisible
+    # PREDECESSOR (the reference maintains mpParent incrementally,
+    # KeyFrame.cc:342; here it is derived from the same covisibility)
+    idx = jnp.arange(K)
+    pred_mask = (idx[None, :] < idx[:, None]) & m.kf_valid[None, :]
+    parent = jnp.argmax(jnp.where(pred_mask, covis_m, -1), axis=1)
+    is_st = (ej >= 1) & (ei == parent[ej])
     is_loop = ((ei == jnp.minimum(kf_cur, kf_loop))
                & (ej == jnp.maximum(kf_cur, kf_loop)))
-    evalid = (seq | strong | is_loop) & m.kf_valid[ei] & m.kf_valid[ej]
+    evalid = (seq | strong | is_st | is_loop) \
+        & m.kf_valid[ei] & m.kf_valid[ej]
+    if prev_loops is not None:
+        # accumulated loop edges from every past closure (the reference's
+        # KeyFrame::GetLoopEdges feeding sLoopEdges, Optimizer.cc:898-913)
+        pa = jnp.minimum(prev_loops[:, 0], prev_loops[:, 1])
+        pb = jnp.maximum(prev_loops[:, 0], prev_loops[:, 1])
+        code = ei.astype(jnp.int64) * K + ej
+        pcode = jnp.where(prev_loops_valid,
+                          pa.astype(jnp.int64) * K + pb, -1)
+        is_prev = jnp.any(code[:, None] == pcode[None, :], axis=1)
+        evalid = evalid | (is_prev & m.kf_valid[ei] & m.kf_valid[ej])
 
     meas = pose_graph.relative_sim3(v_old, ei, ej)
     # loop edge measurement: S_j S_i^-1 with corrected relation.  For
@@ -248,34 +298,62 @@ class LoopCloser:
         self.loop_edges: List[Tuple[int, int]] = []
         self._key = jax.random.PRNGKey(42)
 
+    def remap(self, kf_map: np.ndarray, remap_kf):
+        """Renumber recorded loop edges / cooldown after map compaction."""
+        self.loop_edges = [(remap_kf(a), remap_kf(b))
+                           for a, b in self.loop_edges
+                           if kf_map[a] >= 0 and kf_map[b] >= 0]
+        if self.last_loop_kf >= 0:
+            self.last_loop_kf = remap_kf(self.last_loop_kf)
+
+    def _prev_loop_arrays(self):
+        """Accumulated loop edges as fixed-shape arrays for correct_loop."""
+        L = self.cfg.loop.max_loop_edges
+        arr = np.zeros((L, 2), np.int32)
+        val = np.zeros(L, bool)
+        for i, (a, b) in enumerate(self.loop_edges[-L:]):
+            arr[i] = (a, b)
+            val[i] = True
+        return jnp.asarray(arr), jnp.asarray(val)
+
     def on_keyframe(self, m: ms.MapState, kf_id: int
                     ) -> Tuple[ms.MapState, bool]:
         lcfg = self.cfg.loop
         if kf_id - self.last_loop_kf < lcfg.min_kfs_between_loops:
             return m, False
-        covis_row = np.asarray(ms.covisibility(m)[kf_id])
-        # BoW detection (reference parity; keeps the consistency chains warm)
-        bow_cands = set(self.db.detect_loop_candidates(m, kf_id, covis_row))
-        # landmark-level shortlist: one batched Hamming pass against every
-        # keyframe — on our descriptor domain the BoW score alone is weakly
-        # selective, so the match count does the ranking and the Sim3 RANSAC
-        # does the verification
-        counts = np.asarray(match_counts_all(self.cfg, m, kf_id))
-        K = counts.shape[0]
+        covis_row = np.asarray(_covis_row_jit(m, jnp.asarray(kf_id)))
+        K = covis_row.shape[0]
         eligible = (np.arange(K) != kf_id) \
             & (covis_row < self.cfg.mapper.covis_edge_threshold) \
             & (np.abs(np.arange(K) - kf_id) > lcfg.min_kfs_between_loops) \
             & np.asarray(m.kf_valid)
-        counts = np.where(eligible, counts, -1)
-        order = np.argsort(-counts)[:3]
-        if self.verbose and counts[order[0]] > 0:
-            print(f"[loop] kf {kf_id}: match-count top {order.tolist()} "
-                  f"({counts[order].tolist()}), bow={sorted(bow_cands)[:5]}",
-                  flush=True)
-        for cand in order:
-            cand = int(cand)
-            if counts[cand] < lcfg.sim3_min_bow_matches:
-                continue
+
+        # candidate shortlist: BoW inverted-file-style scoring + consistency
+        # chains (reference LoopClosing::DetectLoop, KeyFrameDatabase.cc:120)
+        # is the primary path; the O(K N^2) all-pairs landmark match count is
+        # an opt-in fallback for untrained-vocabulary domains
+        if lcfg.brute_force_shortlist:
+            counts = np.asarray(match_counts_all(self.cfg, m, kf_id))
+            counts = np.where(eligible, counts, -1)
+            shortlist = [int(c) for c in np.argsort(-counts)[:3]
+                         if counts[c] >= lcfg.sim3_min_bow_matches]
+        else:
+            bow_cands = [c for c in
+                         self.db.detect_loop_candidates(m, kf_id, covis_row)
+                         if eligible[c]][:8]
+            if not bow_cands:
+                return m, False
+            # geometric pre-verification on the shortlist only
+            counts = np.asarray(match_counts_subset(
+                self.cfg, m, jnp.asarray(kf_id),
+                jnp.asarray(bow_cands, dtype=jnp.int32)))
+            order = np.argsort(-counts)
+            shortlist = [int(bow_cands[i]) for i in order[:3]
+                         if counts[i] >= lcfg.sim3_min_bow_matches]
+        if self.verbose and shortlist:
+            print(f"[loop] kf {kf_id}: shortlist {shortlist}", flush=True)
+
+        for cand in shortlist:
             idx2, pt1, pt2, ok = match_pair_points(self.cfg, m, kf_id, cand)
             n_pair = int(ok.sum())
             if self.verbose:
@@ -289,11 +367,26 @@ class LoopCloser:
                       f" scale {float(res.s):.3f}", flush=True)
             if int(res.n_inliers) < lcfg.sim3_min_inliers:
                 continue
+            prev, prev_valid = self._prev_loop_arrays()
             m = correct_loop(self.cfg, m, jnp.asarray(kf_id),
                              jnp.asarray(cand), res.s, res.R, res.t,
-                             pt1, pt2, ok & res.inliers)
-            m = global_ba(self.cfg, m)
+                             pt1, pt2, ok & res.inliers,
+                             prev_loops=prev, prev_loops_valid=prev_valid)
             self.last_loop_kf = kf_id
             self.loop_edges.append((kf_id, cand))
+            # deferred global BA (the reference runs GBA on a separate
+            # thread with abort-on-new-loop, LoopClosing.cc:579 mbStopGBA;
+            # here the essential graph lands immediately and the full BA is
+            # deferred to the next quiet keyframe — a newer loop supersedes
+            # a pending one, which is the abort semantics)
+            self.pending_gba = kf_id
             return m, True
         return m, False
+
+    def maybe_run_gba(self, m: ms.MapState) -> ms.MapState:
+        """Run a deferred global BA if one is pending (called by the System
+        at the next keyframe, i.e. once the closure has 'settled')."""
+        if getattr(self, "pending_gba", None) is None:
+            return m
+        self.pending_gba = None
+        return global_ba(self.cfg, m)

@@ -127,6 +127,22 @@ def covisibility(m: MapState) -> jnp.ndarray:
     return (w - jnp.diag(jnp.diag(w))).astype(jnp.int32)
 
 
+def covisibility_row(m: MapState, k) -> jnp.ndarray:
+    """(K,) shared-point counts of keyframe `k` against every keyframe —
+    one (K,P)x(P,) matvec instead of the full (K,K) matmul.  Used by the
+    per-insertion backend stages, whose cost must not scale with K^2."""
+    K, N = m.kf_obs_pt.shape
+    P = m.pt_pos.shape[0]
+    ok = m.kf_kp_valid & (m.kf_obs_pt >= 0) & m.kf_valid[:, None]
+    pt = jnp.maximum(m.kf_obs_pt, 0)
+    ok = ok & m.pt_valid[pt]
+    ind = jnp.zeros((K, P), jnp.float32)
+    ind = ind.at[jnp.repeat(jnp.arange(K), N), pt.reshape(-1)].max(
+        ok.reshape(-1).astype(jnp.float32))
+    w = jnp.dot(ind, ind[k], preferred_element_type=jnp.float32)
+    return w.at[k].set(0.0).astype(jnp.int32)
+
+
 def point_obs_count(m: MapState) -> jnp.ndarray:
     """(P,) number of keyframes observing each point."""
     P = m.pt_pos.shape[0]

@@ -108,6 +108,10 @@ def _initial_map(cfg: SystemConfig, m: ms.MapState, f0: Frame, f1: Frame,
     tgt = jnp.where(inlier, jnp.maximum(match_idx, 0), N)
     row1 = row1.at[tgt].set(jnp.where(inlier, new_id, -1))[:-1]
     m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k1].set(row1))
+    # global BA on the initial structure (Tracking.cc:688: 20 iters) +
+    # geometry refresh, fused into this one-time program
+    m = lm.local_ba_body(cfg, m, k1, iters=8)
+    m = lm.refresh_point_geometry(cfg, m)
     return m, row1, n_new
 
 
@@ -131,6 +135,7 @@ class System:
         self.last_level = None
         self.frames_since_kf = 0
         self.ref_kf_matches = 0
+        self.last_ref_kf = -1
         # per-frame log: (frame_id, ref_kf, T_frame_wrt_refkf) — final
         # trajectory reconstructs against the *current* keyframe poses so
         # loop corrections and BA shifts propagate (reference
@@ -149,15 +154,15 @@ class System:
     # ------------------------------------------------------------------
     def track_mono(self, img: np.ndarray, frame_id: int,
                    timestamp: Optional[float] = None) -> Optional[np.ndarray]:
-        frame = build_frame(jnp.asarray(img), self.cfg)
-        self.last_frame = frame  # for viewers (FrameDrawer::Update copies)
         self._note_frame(frame_id, timestamp)
         self._cur_depth = None
+        frame = build_frame(jnp.asarray(img), self.cfg)
+        self.last_frame = frame  # for viewers (FrameDrawer::Update)
         if self.state == "NOT_INITIALIZED":
             self._try_initialize(frame, frame_id)
             T = self.last_T if self.state == "OK" else None
         else:
-            T = self._track(frame, frame_id)
+            T = self._track(frame_id, frame=frame)
         return self._log_pose(frame_id, T)
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray,
@@ -201,7 +206,7 @@ class System:
             self._initialize_with_depth(frame, sd, frame_id)
             T = self.last_T if self.state == "OK" else None
         else:
-            T = self._track(frame, frame_id)
+            T = self._track(frame_id, frame=frame)
         return self._log_pose(frame_id, T)
 
     def _note_frame(self, frame_id: int, timestamp: Optional[float]):
@@ -211,7 +216,12 @@ class System:
 
     def _log_pose(self, frame_id: int, T) -> Optional[np.ndarray]:
         if T is not None:
-            ref_kf = max(int(self.map.n_kf) - 1, 0)
+            # anchor to the keyframe this frame was actually tracked against
+            # (reference keeps mpReferenceKF per frame and reconstructs the
+            # trajectory relative to it, System.cc:340-380) — NOT the newest
+            # keyframe, which may be unrelated after a loop correction
+            ref_kf = self.last_ref_kf if self.last_ref_kf >= 0 \
+                else max(int(self.map.n_kf) - 1, 0)
             T_rel = np.asarray(T) @ np.linalg.inv(
                 np.asarray(self.map.kf_pose[ref_kf]))
             self.trajectory.append((frame_id, ref_kf, T_rel))
@@ -237,6 +247,7 @@ class System:
         self.velocity = None
         self.frames_since_kf = 0
         self.ref_kf_matches = int((m.kf_obs_pt[int(k)] >= 0).sum())
+        self.last_ref_kf = int(k)
         self.db.add(int(k), frame.desc, frame.valid)
 
     # ------------------------------------------------------------------
@@ -264,11 +275,9 @@ class System:
             return
         m, kp_pt1, n_pts = _initial_map(
             self.cfg, self.map, self.ref_frame, frame,
-            self.ref_frame_id, frame_id, res.T21, res.points3d,
+            jnp.asarray(self.ref_frame_id, jnp.int32),
+            jnp.asarray(frame_id, jnp.int32), res.T21, res.points3d,
             mm.idx, res.is_inlier & mm.valid)
-        # global BA on the initial structure (Tracking.cc:688: 20 iters)
-        m = lm.local_ba(self.cfg, m, iters=8)
-        m = lm.refresh_point_geometry(self.cfg, m)
         self.map = m
         self.state = "OK"
         self.last_T = np.asarray(m.kf_pose[1])
@@ -277,39 +286,41 @@ class System:
         self.velocity = None
         self.frames_since_kf = 0
         self.ref_kf_matches = int(n_pts)
+        self.last_ref_kf = 1
         # also log the first keyframe
         self.trajectory.append((self.ref_frame_id, 0, np.eye(4, dtype=np.float32)))
 
     # ------------------------------------------------------------------
-    def _track(self, frame: Frame, frame_id: int) -> Optional[np.ndarray]:
+    def _track(self, frame_id: int,
+               frame: Optional[Frame] = None) -> Optional[np.ndarray]:
         tr = self.cfg.tracker
         T_pred = jnp.asarray(
             self.velocity @ self.last_T if self.velocity is not None
             else self.last_T)
 
+        res2 = None
         if self.state == "LOST":
             res = self._attempt_relocalization(frame)
+            if res is not None:
+                res2, self.map = tracking.track_local_map(
+                    self.cfg, self.map, frame, res.T, res.kp_pt)
         else:
             radius = 15.0 if self.velocity is not None else 30.0
-            res = tracking.track_motion_model(
-                self.cfg, self.map, frame, self.last_kp_pt, self.last_level,
-                T_pred, radius)
-            if int(res.n_inliers) < tr.min_matches_motion:
-                res = tracking.track_motion_model(
-                    self.cfg, self.map, frame, self.last_kp_pt,
-                    self.last_level, T_pred, 2.0 * radius)
-            if int(res.n_inliers) < 10:
+            # one fused dispatch: motion model (incl. wide-window retry) +
+            # local-map tracking (models/tracking.py track_frame_built)
+            _n1, res2, self.map = tracking.track_frame_built(
+                self.cfg, self.map, frame, self.last_kp_pt,
+                self.last_level, T_pred, jnp.float32(radius))
+            if int(res2.n_inliers) < 10:
                 # motion tracking failed outright — try relocalization this
                 # frame (reference falls through to Relocalization,
                 # Tracking.cc:366-380)
                 res = self._attempt_relocalization(frame)
+                if res is not None:
+                    res2, self.map = tracking.track_local_map(
+                        self.cfg, self.map, frame, res.T, res.kp_pt)
 
-        if res is not None:
-            res2, self.map = tracking.track_local_map(
-                self.cfg, self.map, frame, res.T, res.kp_pt)
-            n_inl = int(res2.n_inliers)
-        else:
-            n_inl = 0
+        n_inl = int(res2.n_inliers) if res2 is not None else 0
         if n_inl < 10:
             # lost: constant-velocity dead reckoning until relocalization
             # succeeds (reference keeps the LOST state the same way)
@@ -327,11 +338,15 @@ class System:
         self.last_T = T_np
         self.last_kp_pt = res2.kp_pt
         self.last_level = frame.level
+        self.last_ref_kf = int(res2.ref_kf)
         self.frames_since_kf += 1
         self.stats.append({"frame": frame_id, "inliers": n_inl, "lost": False})
 
         if not self.localization_only and self._need_keyframe(n_inl):
             self._insert_keyframe(frame, frame_id, res2)
+            # the frame *is* the new keyframe: report its (BA-adjusted) pose
+            # and anchor the log to itself
+            T_np = np.asarray(self.last_T)
         return T_np
 
     # ------------------------------------------------------------------
@@ -340,13 +355,16 @@ class System:
         Tracking::Relocalization, Tracking.cc:1343).  Returns a TrackResult
         or None."""
         cands = self.db.detect_reloc_candidates(frame.desc, frame.valid,
-                                                top_k=3)
+                                                top_k=5)
         best = None
+        # acceptance gate: >= 50 inliers after the recovery rounds
+        # (reference Tracking.cc:1459 `if(nGood>=50)`)
+        gate = self.cfg.tracker.min_inliers_reloc
         for c in cands:
             self._init_key, sub = jax.random.split(self._init_key)
             res = tracking.relocalize_against_kf(
                 self.cfg, self.map, frame, jnp.asarray(c), sub)
-            if int(res.n_inliers) >= 15 and (
+            if int(res.n_inliers) >= gate and (
                     best is None or int(res.n_inliers) > int(best.n_inliers)):
                 best = res
         if best is not None:
@@ -358,36 +376,108 @@ class System:
         """NeedNewKeyFrame (Tracking.cc:979-1063) distilled: enough frames
         passed, or tracking decayed below ref_ratio of the reference KF."""
         tr = self.cfg.tracker
-        K = self.cfg.mapper.max_keyframes
-        if int(self.map.n_kf) >= K:
-            return False
+        # no capacity gate: _insert_keyframe recycles/grows slots on demand
+        # (models/compaction.py), matching the reference's unbounded map
         c1a = self.frames_since_kf >= tr.max_frames
         c1c = n_inliers < self.ref_kf_matches * 0.25
         c2 = (n_inliers < self.ref_kf_matches * tr.ref_ratio_mono
               and n_inliers > 15)
         return bool((c1a or c1c) and n_inliers > 15) or bool(c2 and self.frames_since_kf >= 1)
 
+    # ------------------------------------------------------------------
+    def _ensure_capacity(self):
+        """Slot recycling + geometric growth (the analogue of the
+        reference's erase lifecycle, Map.cc:55 / KeyFrame.cc:453, which lets
+        it run indefinitely).  At capacity watermarks, compact culled slots
+        away (models/compaction.py); if compaction cannot free enough —
+        pure exploration, nothing cullable — double the capacity, which
+        re-specializes the jitted stages once per doubling."""
+        from coslam_tpu.models import compaction
+
+        K = self.cfg.mapper.max_keyframes
+        P = self.cfg.mapper.max_points
+        if int(self.map.n_kf) < K - 1 and int(self.map.n_pt) < 0.95 * P:
+            return
+        old = self.map
+        new_m, kf_map, pt_map = compaction.compact(self.cfg, old)
+        self._remap_after_compact(old, new_m, kf_map, pt_map)
+        self.map = new_m
+        n_kf, n_pt = int(new_m.n_kf), int(new_m.n_pt)
+        grow_K = 2 * K if n_kf >= K - max(4, K // 16) else 0
+        grow_P = 2 * P if n_pt >= 0.90 * P else 0
+        if grow_K or grow_P:
+            cfg2, m2 = compaction.grow(self.cfg, self.map,
+                                       grow_K or K, grow_P or P)
+            self.map = m2
+            self._set_cfg(cfg2)
+
+    def _remap_after_compact(self, old, new_m, kf_map, pt_map):
+        """Point every host-side slot reference at the compacted layout."""
+        K = kf_map.shape[0]
+        kf_valid_old = np.asarray(old.kf_valid)
+        # last surviving keyframe at-or-before each old slot (fallback for
+        # anchors whose keyframe was culled)
+        alive_before = np.maximum(np.cumsum(kf_valid_old) - 1, 0)
+        old_poses = np.asarray(old.kf_pose)
+
+        def remap_kf(i: int) -> int:
+            i = int(np.clip(i, 0, K - 1))
+            return int(kf_map[i]) if kf_map[i] >= 0 else int(alive_before[i])
+
+        # trajectory anchors: culled refs are re-expressed against the
+        # nearest surviving keyframe using the *old* poses
+        new_traj = []
+        for fid, ref, T_rel in self.trajectory:
+            ref = int(np.clip(ref, 0, K - 1))
+            if kf_map[ref] >= 0:
+                new_traj.append((fid, int(kf_map[ref]), T_rel))
+            else:
+                fb_old = int(np.nonzero(kf_valid_old)[0][alive_before[ref]]) \
+                    if kf_valid_old.any() else 0
+                T_w = T_rel @ old_poses[ref]
+                T_rel2 = T_w @ np.linalg.inv(old_poses[fb_old])
+                new_traj.append((fid, int(alive_before[ref]), T_rel2))
+        self.trajectory = new_traj
+
+        if self.last_kp_pt is not None:
+            kp = np.asarray(self.last_kp_pt)
+            kp = np.where(kp >= 0, pt_map[np.maximum(kp, 0)], -1)
+            self.last_kp_pt = jnp.asarray(kp)
+        self.last_ref_kf = remap_kf(self.last_ref_kf) \
+            if self.last_ref_kf >= 0 else -1
+        self.db.remap(kf_map, new_K=kf_map.shape[0])
+        if self.loop_closer is not None:
+            self.loop_closer.remap(kf_map, remap_kf)
+
+    def _set_cfg(self, cfg2: SystemConfig):
+        self.cfg = cfg2
+        self.db.cfg = cfg2
+        self.db.grow(cfg2.mapper.max_keyframes)
+        if self.loop_closer is not None:
+            self.loop_closer.cfg = cfg2
+
     def _insert_keyframe(self, frame: Frame, frame_id: int,
                          res: tracking.TrackResult):
+        self._ensure_capacity()
         cfg = self.cfg
-        m, k = lm.insert_keyframe(cfg, self.map, frame,
-                                  jnp.asarray(self.last_T), frame_id,
-                                  res.kp_pt)
-        if getattr(self, "_cur_depth", None) is not None:
-            # stereo/RGB-D: close keypoints become landmarks immediately
-            m = lm.add_depth_points(cfg, m, k, self._cur_depth)
-        m = lm.create_map_points(cfg, m, k)
-        m = lm.fuse_into_neighbors(cfg, m, k)
-        m = lm.refresh_point_geometry(cfg, m)
-        m = lm.local_ba(cfg, m)
-        m = lm.cull_points(cfg, m)
-        m = lm.cull_keyframes(cfg, m, k)
-        m = lm.refresh_point_geometry(cfg, m)
+        # the whole LocalMapping iteration (insertion + depth points +
+        # triangulation + fusion + refresh + windowed local BA + culling) is
+        # one fused jitted program — one dispatch, one compile
+        has_depth = getattr(self, "_cur_depth", None) is not None
+        m, k = lm.backend_insert(
+            cfg, self.map, frame, jnp.asarray(self.last_T),
+            jnp.asarray(frame_id, jnp.int32),
+            res.kp_pt, has_depth, self._cur_depth if has_depth else None)
         # place recognition + loop closing (reference LoopClosing thread;
         # here a synchronous stage after local mapping)
         kf_i = int(k)
         self.db.add(kf_i, m.kf_desc[kf_i], m.kf_kp_valid[kf_i])
+        self.db.maybe_retrain(m)
         if self.loop_closer is not None:
+            # a global BA deferred from the previous closure runs now unless
+            # a newer loop supersedes it (the reference's abort-on-new-loop
+            # GBA thread semantics, LoopClosing.cc:579)
+            m = self.loop_closer.maybe_run_gba(m)
             m, closed = self.loop_closer.on_keyframe(m, kf_i)
             if closed:
                 self.n_loops_closed += 1
@@ -397,6 +487,7 @@ class System:
         # tracking references the (possibly BA-shifted) new KF pose
         self.last_T = np.asarray(m.kf_pose[k])
         self.last_kp_pt = m.kf_obs_pt[k]
+        self.last_ref_kf = kf_i
         self.frames_since_kf = 0
         self.ref_kf_matches = int((m.kf_obs_pt[k] >= 0).sum())
         self.stats[-1]["keyframe"] = True
@@ -443,6 +534,7 @@ class System:
         self.last_level = None
         self.frames_since_kf = 0
         self.ref_kf_matches = 0
+        self.last_ref_kf = -1
         self.trajectory.clear()
         self.stats.clear()
         self.timestamps.clear()
@@ -452,6 +544,9 @@ class System:
         """Finish all work and report run statistics (reference
         System::Shutdown, System.h:97, joins the three threads; there are no
         threads here, so this just finalizes device work and summarizes)."""
+        if self.loop_closer is not None:
+            # flush a deferred global BA so the exported map is consistent
+            self.map = self.loop_closer.maybe_run_gba(self.map)
         jax.block_until_ready(self.map.kf_pose)
         n_kf = int(np.asarray(self.map.kf_valid).sum())
         n_pt = int(np.asarray(self.map.pt_valid).sum())

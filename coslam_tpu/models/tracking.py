@@ -31,6 +31,10 @@ class TrackResult(NamedTuple):
     kp_pt: jnp.ndarray       # (N,) i32 map-point id per frame keypoint (-1)
     n_matches: jnp.ndarray   # () i32 associations before optimization
     n_inliers: jnp.ndarray   # () i32 pose-opt inliers
+    # keyframe sharing the most tracked landmarks with this frame — the
+    # reference's mpReferenceKF (Tracking::UpdateLocalKeyFrames pKFmax,
+    # Tracking.cc:1169-1215); trajectory logging anchors to it
+    ref_kf: jnp.ndarray = jnp.asarray(-1, jnp.int32)
 
 
 def _project_points(cam, T, X):
@@ -51,14 +55,21 @@ def _scatter_assoc(n_slots, m: matching.Matches, pt_ids):
     return kp_pt[:n_slots]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+@functools.partial(jax.jit, static_argnums=(0,))
 def track_motion_model(cfg: SystemConfig, m: MapState, frame: Frame,
                        last_kp_pt, last_level, T_pred,
-                       radius: float = 15.0) -> TrackResult:
+                       radius=15.0) -> TrackResult:
     """Reference TrackWithMotionModel (Tracking.cc:869): project the
     previous frame's associated map points with the constant-velocity pose
     prediction and match into the current frame within a scale-dependent
-    window; then motion-only BA."""
+    window; then motion-only BA.  `radius` is traced, so the wide-window
+    retry (Tracking.cc:905) reuses the same executable."""
+    return _motion_body(cfg, m, frame, last_kp_pt, last_level, T_pred,
+                        jnp.asarray(radius, jnp.float32))
+
+
+def _motion_body(cfg: SystemConfig, m: MapState, frame: Frame,
+                 last_kp_pt, last_level, T_pred, radius) -> TrackResult:
     cam = cfg.camera
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
 
@@ -92,8 +103,13 @@ def track_motion_model(cfg: SystemConfig, m: MapState, frame: Frame,
 def relocalize_against_kf(cfg: SystemConfig, m: MapState, frame: Frame,
                           cand_kf, key) -> TrackResult:
     """One relocalization attempt against a place-recognition candidate
-    (reference Tracking::Relocalization, Tracking.cc:1343: SearchByBoW to
-    the candidate's landmarks, EPnP RANSAC, pose optimization)."""
+    (reference Tracking::Relocalization, Tracking.cc:1343-1468):
+    SearchByBoW to the candidate's landmarks -> EPnP RANSAC -> pose
+    optimization, then the reference's two match-recovery rounds — a
+    window-10 projection search against the candidate's covisible local
+    map with re-optimization, and (when 30 < inliers < 50) a shrunken
+    window-3 round — before the 50-inlier acceptance gate applied by the
+    caller."""
     cam = cfg.camera
     pt = m.kf_obs_pt[cand_kf]
     pt_safe = jnp.maximum(pt, 0)
@@ -109,13 +125,66 @@ def relocalize_against_kf(cfg: SystemConfig, m: MapState, frame: Frame,
                                  ok & res_pnp.inliers, frame.inv_sigma2,
                                  cfg.tracker)
     kp_pt = jnp.where(res.inliers, kp_pt, -1)
-    return TrackResult(T=res.T, kp_pt=kp_pt, n_matches=ok.sum(),
-                       n_inliers=res.n_inliers)
+
+    # candidate's local map: points seen by the candidate's covisible window
+    # (the reference's SearchByProjection over sFound complement,
+    # Tracking.cc:1427-1465)
+    P = m.pt_pos.shape[0]
+    covis = None
+    from coslam_tpu.models import map_state as ms_mod
+    covis = ms_mod.covisibility_row(m, cand_kf)
+    local_kf = (covis >= cfg.mapper.covis_edge_threshold)
+    local_kf = local_kf.at[cand_kf].set(True)
+    local_kf = local_kf & m.kf_valid
+    obs_ok = (m.kf_obs_pt >= 0) & m.kf_kp_valid & local_kf[:, None]
+    local_pt = jnp.zeros(P, bool).at[
+        jnp.maximum(m.kf_obs_pt, 0).reshape(-1)].max(obs_ok.reshape(-1))
+    local_pt = local_pt & m.pt_valid
+
+    def recovery_round(T_in, kp_pt_in, radius):
+        uv_pred, z = _project_points(cam, T_in, m.pt_pos)
+        vis = (local_pt & (z > 0.1)
+               & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cam.width)
+               & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cam.height))
+        free_kp = frame.valid & (kp_pt_in < 0)
+        mm2 = matching.match_windowed(
+            m.pt_desc, uv_pred, radius, vis, frame.desc, frame.uv, free_kp,
+            cfg.matcher, max_dist=cfg.matcher.th_high, mutual=True)
+        add = _scatter_assoc(frame.uv.shape[0], mm2,
+                             jnp.arange(P, dtype=jnp.int32))
+        kp2 = jnp.where(kp_pt_in >= 0, kp_pt_in, add)
+        okr = kp2 >= 0
+        Xr = m.pt_pos[jnp.maximum(kp2, 0)]
+        r = pose_opt.optimize_pose(cam, T_in, Xr, frame.uv, okr,
+                                   frame.inv_sigma2, cfg.tracker)
+        return r.T, jnp.where(r.inliers, kp2, -1), r.n_inliers
+
+    # round 1 (window 10) only helps when the PnP pose is sane but starved
+    T1, kp1, n1 = recovery_round(res.T, kp_pt, jnp.float32(10.0))
+    use1 = (res.n_inliers >= 10) & (n1 > res.n_inliers)
+    T1 = jnp.where(use1, T1, res.T)
+    kp1 = jnp.where(use1, kp1, kp_pt)
+    n1 = jnp.where(use1, n1, res.n_inliers)
+    # round 2 (window 3) when still short of the acceptance gate
+    T2, kp2, n2 = recovery_round(T1, kp1, jnp.float32(3.0))
+    use2 = (n1 > 30) & (n1 < cfg.tracker.min_inliers_reloc) & (n2 > n1)
+    T_f = jnp.where(use2, T2, T1)
+    kp_f = jnp.where(use2, kp2, kp1)
+    n_f = jnp.where(use2, n2, n1)
+
+    return TrackResult(T=T_f, kp_pt=kp_f, n_matches=ok.sum(),
+                       n_inliers=n_f,
+                       ref_kf=jnp.asarray(cand_kf, jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def track_local_map(cfg: SystemConfig, m: MapState, frame: Frame,
-                    T_init, kp_pt_init) -> TrackResult:
+                    T_init, kp_pt_init):
+    return _local_map_body(cfg, m, frame, T_init, kp_pt_init)
+
+
+def _local_map_body(cfg: SystemConfig, m: MapState, frame: Frame,
+                    T_init, kp_pt_init):
     """Reference TrackLocalMap (Tracking.cc:932): project *all* valid map
     points, gate by frustum / distance range / viewing angle, match
     unassociated keypoints, then a final motion-only BA over the union of
@@ -176,6 +245,60 @@ def track_local_map(cfg: SystemConfig, m: MapState, frame: Frame,
         (kp_pt >= 0).astype(jnp.int32))
     pt_found = m.pt_found + found
     m = m._replace(pt_visible=pt_visible, pt_found=pt_found)
+
+    # reference keyframe: the KF observing the most of this frame's tracked
+    # landmarks (Tracking::UpdateLocalKeyFrames pKFmax, Tracking.cc:1169);
+    # one (P,)-indicator gather over the (K, N) association table
+    tracked = jnp.zeros(P, jnp.float32).at[jnp.maximum(kp_pt, 0)].add(
+        (kp_pt >= 0).astype(jnp.float32))
+    shared = jnp.where(m.kf_kp_valid & (m.kf_obs_pt >= 0),
+                       tracked[jnp.maximum(m.kf_obs_pt, 0)], 0.0).sum(1)
+    shared = jnp.where(m.kf_valid, shared, -1.0)
+    ref_kf = jnp.argmax(shared).astype(jnp.int32)
+
     return TrackResult(T=res.T, kp_pt=kp_pt,
                        n_matches=(kp_pt >= 0).sum(),
-                       n_inliers=res.n_inliers), m
+                       n_inliers=res.n_inliers, ref_kf=ref_kf), m
+
+
+def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
+                last_kp_pt, last_level, T_pred, radius):
+    # motion model + wide-window retry (Tracking.cc:905) as a scan over the
+    # two radii: the motion-body HLO is instantiated ONCE (a lax.cond would
+    # inline it twice and double its compile cost); the second pass's result
+    # is kept only when the first fell below the match gate
+    N = frame.uv.shape[0]
+    dummy = TrackResult(T=T_pred, kp_pt=jnp.full(N, -1, jnp.int32),
+                        n_matches=jnp.asarray(0, jnp.int32),
+                        n_inliers=jnp.asarray(-1, jnp.int32))
+
+    def body(carry, r):
+        res = _motion_body(cfg, m, frame, last_kp_pt, last_level, T_pred, r)
+        take = carry.n_inliers < cfg.tracker.min_matches_motion
+        new = jax.tree.map(lambda a, b: jnp.where(take, b, a), carry, res)
+        return new, None
+
+    res1, _ = jax.lax.scan(body, dummy,
+                           jnp.stack([radius, 2.0 * radius]))
+    res2, m = _local_map_body(cfg, m, frame, res1.T, res1.kp_pt)
+    return res1.n_inliers, res2, m
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def track_frame_built(cfg: SystemConfig, m: MapState, frame: Frame,
+                      last_kp_pt, last_level, T_pred, radius):
+    """The per-frame tracking pipeline after Frame construction as ONE
+    jitted program: TrackWithMotionModel with its wide-window retry
+    (Tracking.cc:869-905, the retry as lax.cond on the inlier count), then
+    TrackLocalMap (Tracking.cc:932).  The System's host loop only reads two
+    scalars back (motion inliers, final inliers) for its state machine.
+
+    Frame construction (ORB extraction) deliberately stays a SEPARATE jitted
+    program shared by every caller (initialization, relocalization, stereo/
+    RGB-D depth preparation): fusing it here would compile the extractor HLO
+    a second time, and on backends with slow (remote) compilation the
+    extractor is the single most expensive graph to build.  Two dispatches
+    per frame instead of one costs microseconds; a duplicated extractor
+    compile costs minutes.
+    """
+    return _track_body(cfg, m, frame, last_kp_pt, last_level, T_pred, radius)

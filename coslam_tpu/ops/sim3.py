@@ -117,4 +117,87 @@ def ransac_sim3(cam: CameraConfig, x1c, x2c, uv1, uv2, iters: int = 300,
     R = jnp.where(better, R2, R)
     t = jnp.where(better, t2, t)
     ok = jnp.where(better, ok2, ok)
+    # iterative LM refinement with forward+inverse projection edge pairs and
+    # inlier pruning between rounds (reference Optimizer::OptimizeSim3,
+    # Optimizer.cc:1046: 5 its -> prune -> 10 its) — the marginal loop
+    # candidates depend on this polish
+    s, R, t, ok = refine_sim3(cam, x1c, x2c, uv1, uv2, s, R, t, ok,
+                              fix_scale=fix_scale, chi2_th=chi2_th)
     return Sim3Result(s=s, R=R, t=t, inliers=ok, n_inliers=ok.sum())
+
+
+def refine_sim3(cam: CameraConfig, x1c, x2c, uv1, uv2, s0, R0, t0, valid,
+                fix_scale: bool = False, chi2_th: float = 10.0,
+                iters1: int = 5, iters2: int = 10):
+    """Levenberg-Marquardt polish of a Sim3 S21 over matched camera-frame
+    landmark pairs, minimizing BOTH projection directions (the reference's
+    EdgeSim3ProjectXYZ + EdgeInverseSim3ProjectXYZ pairs, Optimizer.cc:
+    1094-1133) with Huber robustification; outliers are pruned after the
+    first round and the remainder re-optimized (Optimizer.cc:1149-1177).
+
+    Parameterization: delta = (omega, nu, sigma) applied as
+    R <- exp(omega) R,  t <- t + nu,  s <- s * exp(sigma) (sigma frozen when
+    fix_scale).  Jacobians by forward-mode autodiff at delta = 0.
+    """
+    delta_huber2 = chi2_th  # Huber at the chi2 threshold (deltaHuber^2)
+
+    def project(pts):
+        z = jnp.where(jnp.abs(pts[..., 2]) < 1e-6, 1e-6, pts[..., 2])
+        return jnp.stack([pts[..., 0] / z * cam.fx + cam.cx,
+                          pts[..., 1] / z * cam.fy + cam.cy], -1)
+
+    def residuals(delta, s, R, t):
+        dR = geo.exp_so3(delta[:3])
+        Rn = dR @ R
+        tn = t + delta[3:6]
+        sn = s * (1.0 if fix_scale else jnp.exp(delta[6]))
+        x2_pred = sn * _he("ij,nj->ni", Rn, x1c) + tn
+        x1_pred = _he("ji,nj->ni", Rn, (x2c - tn)) / jnp.maximum(sn, 1e-9)
+        r2 = project(x2_pred) - uv2
+        r1 = project(x1_pred) - uv1
+        return jnp.concatenate([r1, r2], -1)          # (N, 4)
+
+    def lm_rounds(s, R, t, w_in, n_iters):
+        def step(carry, _):
+            s, R, t, lam = carry
+            z = jnp.zeros(7, jnp.float32)
+            r = residuals(z, s, R, t)                 # (N, 4)
+            J = jax.jacfwd(residuals)(z, s, R, t)     # (N, 4, 7)
+            chi2 = jnp.sum(r * r, -1)
+            wrob = jnp.where(chi2 > delta_huber2,
+                             jnp.sqrt(delta_huber2 / jnp.maximum(chi2, 1e-12)),
+                             1.0) * w_in
+            Jw = J * wrob[:, None, None]
+            H = _he("nij,nik->jk", Jw, J)
+            g = _he("nij,ni->j", Jw, r)
+            H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-6))
+            if fix_scale:
+                H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+                g = g.at[6].set(0.0)
+            d = -jnp.linalg.solve(H + 1e-9 * jnp.eye(7), g)
+            r_new = residuals(d, s, R, t)
+            c_old = (wrob * chi2).sum()
+            c_new = (wrob * jnp.sum(r_new * r_new, -1)).sum()
+            accept = c_new < c_old
+            sn = s if fix_scale else jnp.where(accept, s * jnp.exp(d[6]), s)
+            Rn = jnp.where(accept, geo.exp_so3(d[:3]) @ R, R)
+            tn = jnp.where(accept, t + d[3:6], t)
+            lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                           1e-6, 1e4)
+            return (sn, Rn, tn, lam), None
+
+        (s, R, t, _), _ = jax.lax.scan(
+            step, (s, R, t, jnp.float32(1e-3)), None, length=n_iters)
+        return s, R, t
+
+    w = valid.astype(jnp.float32)
+    s, R, t = lm_rounds(s0, R0, t0, w, iters1)
+    # prune: mutual reprojection gate at the current estimate
+    r = residuals(jnp.zeros(7, jnp.float32), s, R, t)
+    ok = valid & (jnp.sum(r[:, :2] ** 2, -1) < chi2_th) \
+        & (jnp.sum(r[:, 2:] ** 2, -1) < chi2_th)
+    s, R, t = lm_rounds(s, R, t, ok.astype(jnp.float32), iters2)
+    r = residuals(jnp.zeros(7, jnp.float32), s, R, t)
+    ok = valid & (jnp.sum(r[:, :2] ** 2, -1) < chi2_th) \
+        & (jnp.sum(r[:, 2:] ** 2, -1) < chi2_th)
+    return s, R, t, ok

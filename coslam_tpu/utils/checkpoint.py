@@ -72,4 +72,6 @@ def load_system(path: str, system) -> None:
     system.db.bows = extra["db_bows"]
     system.db.has = extra["db_has"]
     system.db.vocab = jnp.asarray(extra["db_vocab"])
-    system.db._trained = True
+    system.db.n_words = int(system.db.vocab.shape[0])
+    # restored vocabulary is authoritative: no further online retraining
+    system.db._external_vocab = True

@@ -1,0 +1,132 @@
+"""Ahead-of-time parallel compilation of the System's jitted super-stages.
+
+Cold-start on the TPU backend is dominated by XLA compilation of a handful
+of large fused programs (tracking step, backend insertion, init finalize) —
+serially triggered one per pipeline event, each taking minutes when the
+backend compiles remotely.  Compilation releases the GIL (and with remote
+compile is mostly network/server time), so lowering + compiling every
+stage CONCURRENTLY at startup turns sum-of-compiles into max-of-compiles;
+the persistent compilation cache (coslam_tpu/__init__.py) then makes every
+later process skip the work entirely.
+
+The reference pays its analogous one-time startup cost loading the 145 MB
+DBoW2 vocabulary (System.cc:68: "This could take a while...").
+
+Usage:
+    warmup(cfg)                      # block until all stages are compiled
+    h = warmup(cfg, blocking=False)  # compile in background threads
+    h.wait()
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from coslam_tpu.config import SystemConfig
+
+
+class _Handle:
+    def __init__(self, threads: List[threading.Thread]):
+        self._threads = threads
+        self.errors: List[str] = []
+
+    def wait(self):
+        for t in self._threads:
+            t.join()
+
+
+def _abstract(x):
+    return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x))
+
+
+def warmup(cfg: SystemConfig, blocking: bool = True,
+           include_loop: bool = True, include_init: bool = True,
+           verbose: bool = False) -> _Handle:
+    from coslam_tpu.models import local_mapping as lm
+    from coslam_tpu.models import map_state as ms
+    from coslam_tpu.models import system as system_mod
+    from coslam_tpu.models import tracking
+    from coslam_tpu.models.frame import build_frame
+
+    H, W = cfg.camera.height, cfg.camera.width
+    N = cfg.extractor.max_keypoints
+    f32, i32 = jnp.float32, jnp.int32
+
+    img = jax.ShapeDtypeStruct((H, W), jnp.uint8)
+    m = jax.eval_shape(functools.partial(ms.empty_map, cfg))
+    frame = jax.eval_shape(lambda im: build_frame(im, cfg), img)
+    kp_pt = jax.ShapeDtypeStruct((N,), i32)
+    level = jax.ShapeDtypeStruct((N,), i32)
+    T = jax.ShapeDtypeStruct((4, 4), f32)
+    scalar_f = jax.ShapeDtypeStruct((), f32)
+    scalar_i = jax.ShapeDtypeStruct((), i32)
+    key = jax.eval_shape(lambda: jax.random.PRNGKey(0))
+
+    jobs: List[Callable[[], None]] = []
+
+    def job(name: str, fn: Callable[[], None]):
+        jobs.append((name, fn))
+
+    job("build_frame", lambda: build_frame.lower(img, cfg).compile())
+    job("track_frame_built", lambda: tracking.track_frame_built.lower(
+        cfg, m, frame, kp_pt, level, T, scalar_f).compile())
+    if cfg.sensor == "mono":
+        job("backend_insert", lambda: lm.backend_insert.lower(
+            cfg, m, frame, T, scalar_i, kp_pt, False, None).compile())
+    else:
+        depth = jax.ShapeDtypeStruct((N,), f32)
+        job("backend_insert_depth", lambda: lm.backend_insert.lower(
+            cfg, m, frame, T, scalar_i, kp_pt, True, depth).compile())
+    if include_init:
+        job("match_for_init", lambda: system_mod._match_for_init.lower(
+            cfg, frame, frame).compile())
+        uv = jax.ShapeDtypeStruct((N, 2), f32)
+        valid = jax.ShapeDtypeStruct((N,), jnp.bool_)
+
+        def _init_graphs():
+            from coslam_tpu.ops import twoview
+            twoview.initialize.lower(
+                cfg.camera, uv, uv, valid, key, cfg.tracker.ransac_iters,
+                cfg.tracker.ransac_sigma, cfg.tracker.init_min_good).compile()
+            pts = jax.ShapeDtypeStruct((N, 3), f32)
+            system_mod._initial_map.lower(
+                cfg, m, frame, frame, scalar_i, scalar_i, T, pts, kp_pt,
+                valid).compile()
+
+        job("init", _init_graphs)
+    if include_loop:
+        def _loop_graphs():
+            from coslam_tpu.models import loop_closing as lc
+            scalar = scalar_i
+            lc.match_pair_points.lower(cfg, m, scalar, scalar).compile()
+            cands = jax.ShapeDtypeStruct((8,), i32)
+            lc.match_counts_subset.lower(cfg, m, scalar, cands).compile()
+
+        job("loop_detect", _loop_graphs)
+
+    handle = _Handle([])
+
+    def run(name, fn):
+        try:
+            fn()
+            if verbose:
+                print(f"[warmup] {name} compiled", flush=True)
+        except Exception as e:  # warmup must never take the System down
+            handle.errors.append(f"{name}: {e}")
+            if verbose:
+                print(f"[warmup] {name} FAILED: {e}", flush=True)
+
+    threads = [threading.Thread(target=run, args=(nm, fn), daemon=True)
+               for nm, fn in jobs]
+    handle._threads = threads
+    for t in threads:
+        t.start()
+    if blocking:
+        handle.wait()
+    return handle
