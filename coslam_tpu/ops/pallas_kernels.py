@@ -137,40 +137,50 @@ def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, lq_ref,
                   dt_ref, uvt_ref, vt_ref, r2t_ref, lt_ref,
                   best_ref, second_ref, idx_ref, *, block_m: int,
                   level_lo: float, level_hi: float):
-    dq = dq_ref[:]            # (BN, 8) uint32
-    uvq = uvq_ref[:]          # (BN, 2)
-    r2 = r2_ref[:]            # (BN, 1) f32
-    vq = vq_ref[:]            # (BN, 1) int32 0/1
-    lq = lq_ref[:]            # (BN, 1) f32 octave
-    BN = dq.shape[0]
-    M = dt_ref.shape[0]
+    dq = dq_ref[:]            # (8, BN) uint32 (word-major: dense lanes)
+    uvq0 = uvq_ref[0, :]      # (BN,)
+    uvq1 = uvq_ref[1, :]
+    r2 = r2_ref[0, :]         # (BN,) f32
+    vq = vq_ref[0, :]         # (BN,) int32 0/1
+    lq = lq_ref[0, :]         # (BN,) f32 octave
+    BN = dq.shape[1]
+    M = dt_ref.shape[1]
 
     best = jnp.full((BN,), jnp.float32(INF_I32))
     second = jnp.full((BN,), jnp.float32(INF_I32))
     idx = jnp.full((BN,), -1, jnp.int32)
-    for b in range(M // block_m):
-        dt = dt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 8)
-        uvt = uvt_ref[pl.ds(b * block_m, block_m), :]    # (BM, 2)
-        vt = vt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 1)
-        r2t = r2t_ref[pl.ds(b * block_m, block_m), :]    # (BM, 1)
-        lt = lt_ref[pl.ds(b * block_m, block_m), :]      # (BM, 1)
+
+    # fori_loop (NOT a Python loop) over target blocks: the body is one
+    # Mosaic region regardless of M — an unrolled loop at M=32k was 128
+    # copies of the block body and took the compiler >20 min; rolled, the
+    # whole kernel compiles in seconds and the loop costs nothing (the
+    # block body is VPU-bound, not control-bound).  All target arrays are
+    # laid out feature-major ((8|2|1, M)) so M rides the dense 128-lane
+    # axis: an (M, 1) layout is tiled T(8,128) and pads every row to 128
+    # lanes, which at M=32k is ~17 MB per array and blows the VMEM budget.
+    def body(b, carry):
+        best, second, idx = carry
+        dt = dt_ref[:, pl.ds(b * block_m, block_m)]      # (8, BM)
+        ut0 = uvt_ref[0, pl.ds(b * block_m, block_m)]    # (BM,)
+        ut1 = uvt_ref[1, pl.ds(b * block_m, block_m)]
+        vt = vt_ref[0, pl.ds(b * block_m, block_m)]      # (BM,) i32
+        r2t = r2t_ref[0, pl.ds(b * block_m, block_m)]    # (BM,) f32
+        lt = lt_ref[0, pl.ds(b * block_m, block_m)]      # (BM,) f32
         # distances as f32: exact (<= 256), and Mosaic's argmin is f32-only;
         # accumulate per descriptor word to keep VMEM pressure ~3 tiles
         d = jnp.zeros((BN, block_m), jnp.int32)
         for wd in range(8):
-            qw = dq[:, wd]
-            tw = dt[:, wd]
+            qw = dq[wd]
+            tw = dt[wd]
             d = d + _popcount(qw[:, None] ^ tw[None, :])
         d = d.astype(jnp.float32)
-        ut0 = uvt[:, 0]
-        ut1 = uvt[:, 1]
-        dd0 = uvq[:, 0:1] - ut0[None, :]
-        dd1 = uvq[:, 1:2] - ut1[None, :]
+        dd0 = uvq0[:, None] - ut0[None, :]
+        dd1 = uvq1[:, None] - ut1[None, :]
         d2 = dd0 * dd0 + dd1 * dd1
-        ok = (d2 <= r2) & (d2 <= r2t[:, 0][None, :]) \
-            & (vq > 0) & (vt[:, 0][None, :] > 0)
+        ok = (d2 <= r2[:, None]) & (d2 <= r2t[None, :]) \
+            & (vq[:, None] > 0) & (vt[None, :] > 0)
         if level_lo > -100.0 or level_hi < 100.0:
-            dl = lt[:, 0][None, :] - lq
+            dl = lt[None, :] - lq[:, None]
             ok = ok & (dl >= level_lo) & (dl <= level_hi)
         d = jnp.where(ok, d, jnp.float32(INF_I32))
 
@@ -185,10 +195,14 @@ def _match_kernel(dq_ref, uvq_ref, r2_ref, vq_ref, lq_ref,
                            jnp.minimum(second, bm))
         idx = jnp.where(new_best, am, idx)
         best = jnp.where(new_best, bm, best)
+        return best, second, idx
 
-    best_ref[:, 0] = best.astype(jnp.int32)
-    second_ref[:, 0] = second.astype(jnp.int32)
-    idx_ref[:, 0] = jnp.where(best < jnp.float32(INF_I32), idx, -1)
+    best, second, idx = jax.lax.fori_loop(
+        0, M // block_m, body, (best, second, idx))
+
+    best_ref[0, :] = best.astype(jnp.int32)
+    second_ref[0, :] = second.astype(jnp.int32)
+    idx_ref[0, :] = jnp.where(best < jnp.float32(INF_I32), idx, -1)
 
 
 def masked_match(desc_q, uv_q, r2_q, valid_q, desc_t, uv_t, valid_t,
@@ -219,7 +233,9 @@ def masked_match(desc_q, uv_q, r2_q, valid_q, desc_t, uv_t, valid_t,
     kernel = functools.partial(_match_kernel, block_m=block_m,
                                level_lo=float(level_lo),
                                level_hi=float(level_hi))
-    qspec = lambda w: pl.BlockSpec((block_n, w), lambda i: (i, 0),
+    # feature-major layouts: the long point axis rides the 128-lane axis
+    # (see the kernel comment re VMEM tiling)
+    qspec = lambda w: pl.BlockSpec((w, block_n), lambda i: (0, i),
                                    memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     best, second, idx = pl.pallas_call(
@@ -229,19 +245,19 @@ def masked_match(desc_q, uv_q, r2_q, valid_q, desc_t, uv_t, valid_t,
                   full, full, full, full, full],
         out_specs=[qspec(1), qspec(1), qspec(1)],
         out_shape=[
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),
-            jax.ShapeDtypeStruct((N, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(desc_q, uv_q, r2_q[:, None], valid_q.astype(jnp.int32)[:, None],
-      level_q.astype(jnp.float32)[:, None],
-      desc_t, uv_t, valid_t.astype(jnp.int32)[:, None],
-      r2_t.astype(jnp.float32)[:, None],
-      level_t.astype(jnp.float32)[:, None])
-    return best[:, 0], second[:, 0], idx[:, 0]
+    )(desc_q.T, uv_q.T, r2_q[None, :], valid_q.astype(jnp.int32)[None, :],
+      level_q.astype(jnp.float32)[None, :],
+      desc_t.T, uv_t.T, valid_t.astype(jnp.int32)[None, :],
+      r2_t.astype(jnp.float32)[None, :],
+      level_t.astype(jnp.float32)[None, :])
+    return best[0], second[0], idx[0]
 
 
 # ---------------------------------------------------------------------------
