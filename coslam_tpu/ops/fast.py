@@ -18,8 +18,11 @@ Non-maximum suppression is a 3x3 max-pool equality test.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Bresenham circle of radius 3 — (dy, dx) clockwise from 12 o'clock.
 # Same circle as OpenCV's FAST-16 (public algorithm constant).
@@ -63,9 +66,13 @@ def nms3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= pooled, score, 0.0)
 
 
-def border_mask(h: int, w: int, margin: int, dtype=jnp.float32) -> jnp.ndarray:
-    """1 inside the detection region, 0 in the margin (static, cacheable)."""
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    ok = (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
-    return ok.astype(dtype)
+@functools.lru_cache(maxsize=None)
+def border_mask(h: int, w: int, margin: int) -> "np.ndarray":
+    """1 inside the detection region, 0 in the margin.
+
+    Numpy on purpose: the inputs are static, so an iota formulation would
+    execute EAGERLY at trace time — a device roundtrip per level on remote
+    backends.  As numpy it traces to one HLO literal."""
+    m = np.zeros((h, w), np.float32)
+    m[margin:h - margin, margin:w - margin] = 1.0
+    return m

@@ -18,11 +18,17 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from coslam_tpu.config import MatcherConfig
 from coslam_tpu.ops import hamming
 
-INF = jnp.int32(1 << 20)
+# numpy scalar on purpose: a module-level `jnp.int32` is a CONCRETE device
+# array on the default backend; every jitted program closing over it must
+# fetch it back to host at lowering time to embed it as an MLIR constant —
+# a device->host roundtrip that costs minutes per program on a remote-TPU
+# ("axon") backend.  np.int32 weakly types identically and folds for free.
+INF = np.int32(1 << 20)
 TWO_PI = 6.283185307179586
 
 

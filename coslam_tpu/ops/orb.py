@@ -76,7 +76,7 @@ def _moment_kernels() -> np.ndarray:
 
 def moment_maps(img: jnp.ndarray):
     """(H, W) -> (m10, m01) maps via one 2-channel 31x31 convolution."""
-    k = jnp.asarray(_moment_kernels())
+    k = _moment_kernels()  # np constant: folds to an HLO literal
     x = img[None, None]
     dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
     out = jax.lax.conv_general_dilated(
@@ -106,23 +106,26 @@ def _select_level_keypoints(score, budget: int, cell: int, min_th: float):
     """
     h, w = score.shape
     hc, wc = -(-h // cell), -(-w // cell)
-    pad = jnp.zeros((hc * cell, wc * cell), score.dtype).at[:h, :w].set(score)
+    # constants built with numpy (np.arange etc.): concrete-shaped jnp ops
+    # would execute eagerly at trace time — a device roundtrip per op on
+    # remote backends; numpy folds into HLO literals
+    pad = jnp.pad(score, ((0, hc * cell - h), (0, wc * cell - w)))
     cells = pad.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
 
     i1 = jnp.argmax(cells, axis=1)
     m1 = jnp.take_along_axis(cells, i1[:, None], axis=1)[:, 0]
-    cells2 = cells.at[jnp.arange(hc * wc), i1].set(-jnp.inf)
+    cells2 = cells.at[np.arange(hc * wc), i1].set(-jnp.inf)
     i2 = jnp.argmax(cells2, axis=1)
     m2 = jnp.take_along_axis(cells2, i2[:, None], axis=1)[:, 0]
 
     cand_score = jnp.concatenate([m1, m2])                  # (2*nc,)
-    cand_cell = jnp.concatenate([jnp.arange(hc * wc)] * 2)
+    cand_cell = np.concatenate([np.arange(hc * wc)] * 2)
     cand_inner = jnp.concatenate([i1, i2])
     cand_score = jnp.where(cand_score > min_th, cand_score, -jnp.inf)
 
     k = min(budget, cand_score.shape[0])
     top_score, top_idx = jax.lax.top_k(cand_score, k)
-    cell_idx = cand_cell[top_idx]
+    cell_idx = jnp.take(cand_cell, top_idx)
     inner = cand_inner[top_idx]
     cy, cx = cell_idx // wc, cell_idx % wc
     iy, ix = inner // cell, inner % cell
@@ -132,10 +135,10 @@ def _select_level_keypoints(score, budget: int, cell: int, min_th: float):
     # pad to exactly `budget` slots if fewer candidates than budget
     if k < budget:
         padn = budget - k
-        ys = jnp.concatenate([ys, jnp.zeros(padn, jnp.int32)])
-        xs = jnp.concatenate([xs, jnp.zeros(padn, jnp.int32)])
-        top_score = jnp.concatenate([top_score, jnp.full(padn, -jnp.inf)])
-        valid = jnp.concatenate([valid, jnp.zeros(padn, bool)])
+        ys = jnp.concatenate([ys, np.zeros(padn, np.int32)])
+        xs = jnp.concatenate([xs, np.zeros(padn, np.int32)])
+        top_score = jnp.concatenate([top_score, np.full(padn, -np.inf, np.float32)])
+        valid = jnp.concatenate([valid, np.zeros(padn, bool)])
     return (jnp.stack([ys, xs], axis=1).astype(jnp.int32),
             jnp.where(valid, top_score, 0.0), valid)
 
@@ -223,7 +226,7 @@ def extract_patches(img, yx, patch: int = RAW_PATCH):
 
 def _descriptors_from_patches(patches, valid):
     """(K, 1521) raw patches -> (angle (K,), packed desc (K, 8) uint32)."""
-    w_moment, w_blur, w_bits = (jnp.asarray(m) for m in _patch_matrices())
+    w_moment, w_blur, w_bits = _patch_matrices()  # np: HLO literals
     mom = jnp.dot(patches, w_moment, preferred_element_type=jnp.float32)
     angle = jnp.arctan2(mom[:, 1], mom[:, 0])
 
@@ -231,7 +234,7 @@ def _descriptors_from_patches(patches, valid):
     diffs = jnp.dot(blurred, w_bits, preferred_element_type=jnp.float32)
     bits_all = (diffs > 0).reshape(-1, N_ROT_BINS, DESC_WORDS, 32)
 
-    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    shifts = np.arange(32, dtype=np.uint32)  # np: folds to an HLO literal
     words_all = (bits_all.astype(jnp.uint32) << shifts).sum(
         axis=-1, dtype=jnp.uint32)                  # (K, BINS, 8)
     tau = 2.0 * jnp.pi
@@ -254,7 +257,7 @@ def _descriptors_at(img_blur, yx, angle, valid):
     radians.  Returns uint32 (K, 8).
     """
     h, w = img_blur.shape
-    pat = jnp.asarray(brief_pattern())            # (256, 2, 2) (x, y)
+    pat = brief_pattern()                         # np (256, 2, 2) (x, y)
     ca, sa = jnp.cos(angle), jnp.sin(angle)       # (K,)
     px, py = pat[..., 0], pat[..., 1]             # (256, 2)
     # rotate pattern by keypoint angle: (K, 256, 2)
@@ -265,7 +268,7 @@ def _descriptors_at(img_blur, yx, angle, valid):
     flat = img_blur.reshape(-1)
     vals = flat[(gy * w + gx).reshape(yx.shape[0], -1)].reshape(yx.shape[0], N_BITS, 2)
     bits = (vals[..., 0] < vals[..., 1]).astype(jnp.uint32)   # (K, 256)
-    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    shifts = np.arange(32, dtype=np.uint32)  # np: folds to an HLO literal
     words = (bits.reshape(-1, DESC_WORDS, 32) << shifts[None, None, :]).sum(
         axis=-1, dtype=jnp.uint32)
     return jnp.where(valid[:, None], words, 0)

@@ -29,24 +29,57 @@ def level_shapes(h: int, w: int, cfg: ExtractorConfig) -> List[Tuple[int, int]]:
     return shapes
 
 
+@functools.lru_cache(maxsize=None)
+def _resize_weights(n_in: int, n_out: int):
+    """(n_out, n_in) float32 numpy bilinear resize matrix (align_corners
+    False, the jax.image.resize "linear" convention).
+
+    Built with NUMPY on purpose: jax.image.resize constructs its weight
+    tensors with eager jnp ops at trace time — on a remote-TPU backend every
+    one of those is a network roundtrip, and the pyramid alone contributed
+    ~380 eager dispatches (~minutes of cold-start wall clock).  A numpy
+    matrix becomes a single HLO literal instead, and the resize itself turns
+    into two MXU matmuls, which fuse and beat gather-based resampling on
+    TPU anyway.
+    """
+    import numpy as np
+
+    scale = n_in / n_out          # >1 when downscaling
+    centers = (np.arange(n_out) + 0.5) * scale - 0.5
+    # anti-aliased triangle kernel, as jax.image.resize uses for
+    # downscaling: support widened by the scale factor so high
+    # frequencies are averaged out, then rows normalized
+    support = max(scale, 1.0)
+    dist = np.abs(centers[:, None] - np.arange(n_in)[None, :]) / support
+    w = np.clip(1.0 - dist, 0.0, None).astype(np.float32)
+    return w / w.sum(axis=1, keepdims=True)
+
+
 def build_pyramid(img: jnp.ndarray, cfg: ExtractorConfig) -> List[jnp.ndarray]:
-    """uint8/float (H, W) -> list of float32 levels (level 0 = input)."""
+    """uint8/float (H, W) -> list of float32 levels (level 0 = input).
+
+    Each level is resized from level 0 (slightly sharper than the
+    reference's chained resizes; equivalent behavior for x1.2) as two
+    matmuls with constant numpy weight matrices: R_h @ img @ R_w^T.
+    """
     img = img.astype(jnp.float32)
     h, w = img.shape
     out = [img]
     for (lh, lw) in level_shapes(h, w, cfg)[1:]:
-        # resize each level from level 0 (slightly sharper than chained
-        # resizes; the reference chains but behavior is equivalent for x1.2)
-        out.append(jax.image.resize(img, (lh, lw), method="bilinear"))
+        rh = _resize_weights(h, lh)            # np (lh, h): HLO literal
+        rw = _resize_weights(w, lw)            # np (lw, w)
+        out.append(jnp.dot(jnp.dot(rh, img), rw.T,
+                           preferred_element_type=jnp.float32))
     return out
 
 
 @functools.lru_cache(maxsize=None)
 def _gaussian_kernel(ksize: int, sigma: float):
+    import numpy as np
     half = ksize // 2
-    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / k.sum()
+    x = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0):

@@ -113,10 +113,13 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     handle = _Handle([])
 
     def run(name, fn):
+        import time
+        t0 = time.perf_counter()
         try:
             fn()
             if verbose:
-                print(f"[warmup] {name} compiled", flush=True)
+                print(f"[warmup] {name} compiled "
+                      f"({time.perf_counter() - t0:.1f}s)", flush=True)
         except Exception as e:  # warmup must never take the System down
             handle.errors.append(f"{name}: {e}")
             if verbose:
