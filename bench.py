@@ -82,11 +82,18 @@ def bench_hot_path():
     return fps, flops_per_frame
 
 
-def bench_full_system(n_frames: int = 60):
+def bench_full_system(n_frames: int = 120):
+    """Full System over a rendered sequence via the chunked steady-state
+    driver (System.run_sequence): extraction + tracking + keyframe gate on
+    device in C-frame dispatches, cut-at-keyframe semantics (per-frame-exact
+    output), full backend per keyframe.  The workload matches the
+    reference's: 640x480, ~500 features, 30 fps-class inter-frame motion
+    (n_frames spread over the same arc the reference-class camera would
+    cover in n_frames/30 s)."""
     import jax
     from coslam_tpu import config as cfg_mod
     from coslam_tpu.models.system import System
-    from coslam_tpu.utils import synthetic
+    from coslam_tpu.utils import synthetic, warmup
 
     cfg = cfg_mod.SystemConfig(
         camera=cfg_mod.CameraConfig(fx=400, fy=400, cx=320, cy=240,
@@ -97,24 +104,25 @@ def bench_full_system(n_frames: int = 60):
     traj = synthetic.make_trajectory(n_frames, seed=3)
     seq = synthetic.render_sequence(cfg.camera, traj, scene)
     seq = [jax.device_put(f) for f in seq]
+    warmup.warmup(cfg)
 
     def run():
         slam = System(cfg)
         t0 = time.perf_counter()
-        for i, img in enumerate(seq):
-            slam.track_mono(img, i)
+        slam.run_sequence(seq)
         jax.block_until_ready(slam.map.kf_pose)
         return n_frames / (time.perf_counter() - t0), slam
 
-    run()            # pass 1: compile everything (persistent-cache warm)
+    run()            # pass 1: compile anything left (persistent-cache warm)
     fps, slam = run()  # pass 2: steady-state, fresh System
     n_kf = int(np.asarray(slam.map.kf_valid).sum())
-    return fps, n_kf
+    lost = sum(1 for s in slam.stats if s.get("lost"))
+    return fps, n_kf, lost
 
 
 def main():
     hot_fps, flops_per_frame = bench_hot_path()
-    sys_fps, n_kf = bench_full_system()
+    sys_fps, n_kf, lost = bench_full_system()
 
     import jax
     kind = jax.devices()[0].device_kind
@@ -133,6 +141,7 @@ def main():
         "hot_path_gflops_per_frame": (round(flops_per_frame / 1e9, 3)
                                       if flops_per_frame else None),
         "keyframes_in_run": n_kf,
+        "lost_frames": lost,
         "device": kind,
     }))
 

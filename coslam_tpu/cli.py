@@ -33,23 +33,59 @@ from coslam_tpu.models.system import System
 from coslam_tpu.utils import evaluation, io as cio, profiling, synthetic
 
 
+class _LazyImages:
+    """List-like lazy loader so the chunked driver can consume dataset
+    frames without materializing the whole sequence in RAM."""
+
+    def __init__(self, paths, loader):
+        self.paths = paths
+        self.loader = loader
+        self._cache = (None, None)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i):
+        if self._cache[0] != i:
+            self._cache = (i, self.loader(self.paths[i]))
+        return self._cache[1]
+
+
 def _run(slam: System, frames, mode: str, depth_factor: float,
-         timer: profiling.StageTimer, limit: int, viewer=None):
-    timestamps = []
-    for i, fr in enumerate(frames[:limit] if limit else frames):
-        img = cio.load_image(fr.rgb_path)
-        with timer("track"):
-            if mode == "mono":
-                slam.track_mono(img, i, timestamp=fr.timestamp)
-            elif mode == "rgbd":
-                depth = cio.load_depth(fr.depth_path, depth_factor)
-                slam.track_rgbd(img, depth, i, timestamp=fr.timestamp)
-            else:
-                right = cio.load_image(fr.right_path)
-                slam.track_stereo(img, right, i, timestamp=fr.timestamp)
-        if viewer is not None and slam.state != "NOT_INITIALIZED":
-            viewer.update(slam, img, slam.last_frame, i)
-        timestamps.append(fr.timestamp)
+         timer: profiling.StageTimer, limit: int, viewer=None,
+         per_frame: bool = False):
+    frames = frames[:limit] if limit else frames
+    timestamps = [fr.timestamp for fr in frames]
+
+    if viewer is not None or per_frame:
+        # per-frame path (viewer needs every frame's state)
+        for i, fr in enumerate(frames):
+            img = cio.load_image(fr.rgb_path)
+            with timer("track"):
+                if mode == "mono":
+                    slam.track_mono(img, i, timestamp=fr.timestamp)
+                elif mode == "rgbd":
+                    depth = cio.load_depth(fr.depth_path, depth_factor)
+                    slam.track_rgbd(img, depth, i, timestamp=fr.timestamp)
+                else:
+                    right = cio.load_image(fr.right_path)
+                    slam.track_stereo(img, right, i, timestamp=fr.timestamp)
+            if viewer is not None and slam.state != "NOT_INITIALIZED":
+                viewer.update(slam, img, slam.last_frame, i)
+        return timestamps
+
+    imgs = _LazyImages([fr.rgb_path for fr in frames], cio.load_image)
+    depths = None
+    rights = None
+    if mode == "rgbd":
+        depths = _LazyImages([fr.depth_path for fr in frames],
+                             lambda p: cio.load_depth(p, depth_factor))
+    elif mode == "stereo":
+        rights = _LazyImages([fr.right_path for fr in frames],
+                             cio.load_image)
+    with timer("track"):
+        slam.run_sequence(imgs, timestamps=timestamps, depths=depths,
+                          right_images=rights)
     return timestamps
 
 
@@ -274,6 +310,10 @@ def main(argv=None):
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture an XLA profiler trace of the run to DIR "
                         "(TensorBoard format; utils/profiling.trace)")
+    p.add_argument("--per-frame", action="store_true",
+                   help="drive tracking one frame per dispatch instead of "
+                        "the chunked steady-state driver (System."
+                        "run_sequence)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip the parallel ahead-of-time compilation of the "
                         "pipeline stages (utils/warmup.py)")
@@ -330,11 +370,15 @@ def _dispatch(args, p):
         seq_imgs = synthetic.render_sequence(cfg.camera, traj, scene)
         _warmup(cfg, args, timer)
         slam = System(cfg)
-        for i, img in enumerate(seq_imgs):
+        if viewer is not None or args.per_frame:
+            for i, img in enumerate(seq_imgs):
+                with timer("track"):
+                    slam.track_mono(img, i)
+                if viewer is not None and slam.state != "NOT_INITIALIZED":
+                    viewer.update(slam, img, slam.last_frame, i)
+        else:
             with timer("track"):
-                slam.track_mono(img, i)
-            if viewer is not None and slam.state != "NOT_INITIALIZED":
-                viewer.update(slam, img, slam.last_frame, i)
+                slam.run_sequence(list(seq_imgs))
         ids, poses = slam.trajectory_poses()
         ate = evaluation.ate_rmse(
             evaluation.trajectory_xyz(poses),
@@ -363,7 +407,7 @@ def _dispatch(args, p):
     _warmup(cfg, args, timer)
     slam = System(cfg)
     timestamps = _run(slam, seq.frames, args.mode, seq.depth_factor, timer,
-                      args.limit, viewer)
+                      args.limit, viewer, per_frame=args.per_frame)
     ids, poses = slam.trajectory_poses()
     print(timer.report())
     print(f"frames tracked: {len(ids)} / {len(timestamps)}"

@@ -113,6 +113,11 @@ class TrackerConfig:
     # Pose optimization (Optimizer.cc:239-451): 4 rounds x 10 LM iterations
     pose_opt_rounds: int = 4
     pose_opt_iters: int = 10
+    # Steady-state chunk size: frames tracked per device dispatch by
+    # System.run_sequence / tracking.track_chunk (the TPU analogue of the
+    # reference's tracker/mapper thread asynchrony — the mapper may lag the
+    # tracker by up to this many frames)
+    chunk_frames: int = 8
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815
 

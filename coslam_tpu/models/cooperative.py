@@ -167,13 +167,14 @@ class CoopAgent(System):
         self.n_merges = 0
 
     # -- bookkeeping hooks -------------------------------------------------
-    def _insert_keyframe(self, frame, frame_id, res):
-        k_before = int(self.map.n_kf)
-        super()._insert_keyframe(frame, frame_id, res)
-        for k in range(k_before, int(self.map.n_kf)):
+    def _insert_keyframe(self, frame, frame_id, update_track_state=True):
+        k_before = self._host_n_kf
+        kf_i = super()._insert_keyframe(frame, frame_id, update_track_state)
+        for k in range(k_before, self._host_n_kf):
             self.kf_agent[k] = self.agent_id
         self.pt_agent[np.asarray(self.map.pt_valid) & (self.pt_agent < 0)] = \
             self.agent_id
+        return kf_i
 
     def _try_initialize(self, frame, frame_id):
         super()._try_initialize(frame, frame_id)
@@ -289,6 +290,7 @@ class CoopAgent(System):
             self.cfg, m, frame, jnp.asarray(pkt.pose),
             jnp.asarray(pkt.frame_id), jnp.asarray(kp_pt))
         k = int(k)
+        self._host_n_kf = k + 1
         self.kf_agent[k] = pkt.agent_id
         self.db.add(k, frame.desc, frame.valid)
         self.db.maybe_retrain(m)
@@ -302,6 +304,8 @@ class CoopAgent(System):
         # integrates across agents.
         m = lm.backend_post_insert(self.cfg, m, jnp.asarray(k))
         self.map = m
+        self._kf_pose_dirty = True
+        self._host_n_pt = int(np.asarray(m.n_pt))
         # new triangulated points belong to the sub-map of their keyframe
         self.pt_agent[np.asarray(self.map.pt_valid)
                       & (self.pt_agent < 0)] = pkt.agent_id
@@ -323,16 +327,34 @@ class CoopAgent(System):
 
     # -- cross-agent alignment --------------------------------------------
     def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
-        """Place-recognize the foreign keyframe against OWN keyframes; on a
-        verified Sim3, similarity-transform the foreign component into the
-        local frame and fuse duplicate landmarks."""
+        """Place-recognize the foreign keyframe against OWN keyframes via
+        the BoW database (the reference's KeyFrameDatabase feeding
+        LoopClosing::DetectLoop detects cross-sub-map loops the same way,
+        KeyFrameDatabase.cc:76); a short BoW candidate list is geometrically
+        pre-verified with landmark match counts, then Sim3 RANSAC aligns.
+        On a verified Sim3, the foreign component is similarity-transformed
+        into the local frame and duplicate landmarks fuse."""
         cfg = self.cfg
         m = self.map
-        counts = np.asarray(lc.match_counts_all(cfg, m, foreign_kf))
-        own = (self.kf_agent[: counts.shape[0]] == self.agent_id) \
-            & np.asarray(m.kf_valid)
-        counts = np.where(own, counts, -1)
-        order = np.argsort(-counts)[:3]
+        own = (self.kf_agent[: self.db.bows.shape[0]] == self.agent_id) \
+            & np.asarray(m.kf_valid)[: self.db.bows.shape[0]]
+        if cfg.loop.brute_force_shortlist:
+            counts = np.asarray(lc.match_counts_all(cfg, m, foreign_kf))
+            counts = np.where(own[: counts.shape[0]], counts, -1)
+            order = [int(c) for c in np.argsort(-counts)[:3]]
+        else:
+            scores = self.db.scores_against_all(foreign_kf)
+            scores = np.where(own & self.db.has, scores, -1.0)
+            bow_cands = [int(c) for c in np.argsort(-scores)[:8]
+                         if scores[c] > 0.02]
+            if not bow_cands:
+                return False
+            counts_sub = np.asarray(lc.match_counts_subset(
+                cfg, m, jnp.asarray(foreign_kf),
+                jnp.asarray(bow_cands, dtype=jnp.int32)))
+            counts = np.full(self.db.bows.shape[0], -1, np.int64)
+            counts[np.asarray(bow_cands)] = counts_sub
+            order = [int(bow_cands[i]) for i in np.argsort(-counts_sub)[:3]]
         for cand in order:
             cand = int(cand)
             if counts[cand] < cfg.loop.sim3_min_bow_matches:
@@ -362,6 +384,7 @@ class CoopAgent(System):
             m = lm.refresh_point_geometry(cfg, m)
             m = lc.global_ba(cfg, m, iters=5)
             self.map = m
+            self._kf_pose_dirty = True
             self.merged_agents[agent_id] = True
             self._agent_sim3[agent_id] = (
                 float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))

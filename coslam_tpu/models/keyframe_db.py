@@ -61,33 +61,45 @@ class KeyFrameDatabase:
         self.has[kf_id] = True
         self._n_added += 1
 
+    def add_row(self, kf_id: int, bow_row: np.ndarray):
+        """Store a BoW row computed elsewhere (fused into the backend-insert
+        program, models/local_mapping.py backend_insert) — zero extra device
+        round trips on the keyframe path."""
+        self.bows[kf_id] = bow_row
+        self.has[kf_id] = True
+        self._n_added += 1
+
     def maybe_retrain(self, m: ms.MapState):
         """Online vocabulary (re)training at growth milestones (reference
         ships a 1M-word vocabulary pre-trained on broad imagery,
         System.cc:61-72; here the vocabulary adapts to the deployment
         domain): binary k-means over descriptors of ALL current keyframes,
-        then every stored BoW row is recomputed under the new words."""
+        then every stored BoW row is recomputed under the new words.
+
+        Runs entirely on device (ops/bow.py train_vocabulary_device): one
+        k-means dispatch + one batched row-recompute dispatch + one (K, W)
+        pull — cheap enough to stay synchronous in the tracking loop (the
+        round-2 host-numpy version cost tens of seconds at the 60k-descriptor
+        milestone)."""
         if self._external_vocab or \
                 self._n_added not in self.cfg.loop.vocab_retrain_at:
             return
         kf_valid = np.asarray(m.kf_valid)
         if not kf_valid.any():
             return
-        desc = np.asarray(m.kf_desc)[kf_valid]
-        kp_ok = np.asarray(m.kf_kp_valid)[kf_valid]
-        pool = desc[kp_ok]                         # (n_desc, 8)
-        if pool.shape[0] < 512:
+        K, N = m.kf_obs_pt.shape
+        ok = m.kf_kp_valid & m.kf_valid[:, None]
+        if int(np.asarray(ok.sum())) < 512:
             return
-        rng = np.random.default_rng(0)
-        if pool.shape[0] > 60000:
-            pool = pool[rng.choice(pool.shape[0], 60000, replace=False)]
-        self._vocab_np = bow.train_vocabulary(
-            pool, self.n_words, iters=6, seed=0)
-        self.vocab = jnp.asarray(self._vocab_np)
-        # recompute every stored row under the new vocabulary
-        for k in np.nonzero(self.has & kf_valid[: len(self.has)])[0]:
-            self.bows[k] = self.compute_bow(m.kf_desc[int(k)],
-                                            m.kf_kp_valid[int(k)])
+        vocab = bow.train_vocabulary_device(
+            m.kf_desc.reshape(K * N, -1), ok.reshape(-1), self.n_words, 6)
+        rows = jax.jit(bow.bow_rows, static_argnums=(3,))(
+            m.kf_desc, ok, vocab, self.n_words)
+        self.vocab = vocab
+        self._vocab_np = np.asarray(vocab)
+        rows_np = np.asarray(rows)
+        upd = self.has & kf_valid[: len(self.has)]
+        self.bows[upd] = rows_np[: len(self.has)][upd]
 
     # ------------------------------------------------------------------
     def remap(self, kf_map: np.ndarray, new_K: int):

@@ -25,9 +25,13 @@ from coslam_tpu.utils import geometry as geo
 
 _he = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
-N_TRIANG_NEIGHBORS = 4  # unrolled neighbor pairs per insertion (reference
-                        # uses nn=20 covisible neighbors, LocalMapping.cc:210;
-                        # 4 wide batched searches cover similar ground)
+def _n_neighbors(cfg: SystemConfig) -> int:
+    """Covisible neighbor pairs per insertion — the reference's nn=20 mono
+    (LocalMapping.cc:210-212), clamped to the keyframe capacity.  The
+    neighbor loop is a lax.scan, so widening it costs device time only (the
+    pair body is instantiated once in the HLO)."""
+    return max(1, min(cfg.mapper.triangulation_neighbors,
+                      cfg.mapper.max_keyframes - 1))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -92,7 +96,7 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
     sigma2 = jnp.asarray(cfg.extractor.level_sigma2, jnp.float32)
     covis = ms.covisibility_row(m, kf_id)             # (K,)
-    _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
+    _, neighbors = jax.lax.top_k(covis, _n_neighbors(cfg))
     nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
 
     T1 = m.kf_pose[kf_id]
@@ -398,7 +402,7 @@ def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState
     cam = cfg.camera
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
     covis = ms.covisibility_row(m, kf_id)
-    _, neighbors = jax.lax.top_k(covis, N_TRIANG_NEIGHBORS)
+    _, neighbors = jax.lax.top_k(covis, _n_neighbors(cfg))
     nb_ok = jnp.take(covis, neighbors) >= cfg.mapper.covis_edge_threshold
     obs_count = ms.point_obs_count(m)
 
@@ -452,6 +456,63 @@ def fuse_into_neighbors(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState
 
     m, _ = jax.lax.scan(fuse_body, m, (neighbors, nb_ok))
     return m
+
+
+def fuse_map_into_keyframe(cfg: SystemConfig, m: ms.MapState,
+                           kf_id) -> ms.MapState:
+    """REVERSE fuse: project the map's landmarks into the new keyframe and
+    bind its free keypoints to them (the second half of the reference's
+    LocalMapping::SearchInNeighbors, LocalMapping.cc:488-502 — neighbor
+    points gathered into vpFuseCandidates and fused INTO the current
+    keyframe).  Without this direction, landmarks triangulated by recent
+    keyframes only gain observations when per-frame tracking happens to
+    rebind them, and the 2-3-keyframe culling window (MapPointCulling)
+    starves the map whenever insertion outpaces tracking rebinds.
+
+    Uses the whole-map frustum/scale-gated projection of TrackLocalMap
+    (models/tracking.py _local_map_body) rather than gathering neighbor
+    point lists — the gates prune to the same candidate set."""
+    cam = cfg.camera
+    scale_f = cfg.extractor.scale_factor
+    n_levels = cfg.extractor.n_levels
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    T = m.kf_pose[kf_id]
+
+    pc = geo.transform_points(T, m.pt_pos)
+    z = pc[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uv_pred = jnp.stack([pc[:, 0] / zs * cam.fx + cam.cx,
+                         pc[:, 1] / zs * cam.fy + cam.cy], 1)
+    C = -_he("ji,j->i", T[:3, :3], T[:3, 3])
+    rays = m.pt_pos - C
+    dist = jnp.linalg.norm(rays, axis=1) + 1e-9
+    min_dist = m.pt_max_dist / (scale_f ** (n_levels - 1))
+    view_cos = jnp.sum(rays * m.pt_normal, 1) / dist
+    visible = (m.pt_valid & (z > 0.1)
+               & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < cam.width)
+               & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < cam.height)
+               & (dist >= 0.8 * min_dist)
+               & (dist <= 1.2 * m.pt_max_dist * 1.25)
+               & (view_cos > 0.5))
+    ratio = jnp.maximum(m.pt_max_dist / dist, 1e-6)
+    pred_level = jnp.clip(jnp.ceil(jnp.log(ratio) / jnp.log(scale_f)),
+                          0, n_levels - 1).astype(jnp.int32)
+    r = 3.0 * scales[pred_level]            # Fuse radius (ORBmatcher.cc:838)
+
+    row = m.kf_obs_pt[kf_id]
+    free_kp = m.kf_kp_valid[kf_id] & (row < 0)
+    mm = matching.match_windowed(
+        m.pt_desc, uv_pred, r, visible, m.kf_desc[kf_id], m.kf_uv[kf_id],
+        free_kp, cfg.matcher, level_q=pred_level, level_t=m.kf_level[kf_id],
+        level_lo=-1, level_hi=1, max_dist=cfg.matcher.th_low, mutual=True)
+    P = m.pt_pos.shape[0]
+    N = row.shape[0]
+    add = jnp.full(N + 1, -1, jnp.int32)
+    tgt = jnp.where(mm.valid, mm.idx, N)
+    add = add.at[tgt].set(jnp.where(mm.valid,
+                                    jnp.arange(P, dtype=jnp.int32), -1))[:N]
+    new_row = jnp.where(row >= 0, row, add)
+    return m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(new_row))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -556,6 +617,11 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     """The LocalMapping::Run iteration after a keyframe lands in slot k
     (reference LocalMapping.cc:37-94: CreateNewMapPoints, SearchInNeighbors,
     MapPointCulling, local BA, KeyFrameCulling)."""
+    # bind the keyframe's free keypoints to EXISTING landmarks before
+    # triangulating new ones: when insertion lags tracking (chunked driver),
+    # the tracked bindings miss landmarks created since the chunk started,
+    # and triangulating first would duplicate them at tiny baselines
+    m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
     m = refresh_point_geometry(cfg, m)
@@ -569,17 +635,34 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
 @functools.partial(jax.jit, static_argnums=(0, 6))
 def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
                    T, frame_id, kp_pt, has_depth: bool = False,
-                   kp_depth=None) -> Tuple[ms.MapState, jnp.ndarray]:
+                   kp_depth=None, vocab=None):
     """The full post-insertion backend as ONE jitted program — the entire
     LocalMapping::Run iteration (reference LocalMapping.cc:37-94:
     ProcessNewKeyFrame, MapPointCulling, CreateNewMapPoints,
     SearchInNeighbors, local BA, KeyFrameCulling) fused into a single XLA
     executable so that keyframe insertion costs one dispatch and one compile
-    instead of eight."""
+    instead of eight.
+
+    Returns (map, k, aux) where aux carries everything the host-side
+    keyframe bookkeeping consumes — BoW row for the place-recognition DB
+    (Frame::ComputeBoW, Frame.cc:396, fused here instead of a separate
+    dispatch), the new KF's covisibility row (feeding LoopClosing::
+    DetectLoop's minScore gate) and its BA-adjusted pose — so the System
+    reads ONE bundled transfer per keyframe instead of five round trips."""
     m, k = insert_keyframe(cfg, m, frame, T, frame_id, kp_pt)
     if has_depth:
         m = add_depth_points(cfg, m, k, kp_depth)
-    return _post_insert_body(cfg, m, k), k
+    m = _post_insert_body(cfg, m, k)
+    aux = {"pose": m.kf_pose[k],
+           "covis_row": ms.covisibility_row(m, k),
+           "obs_row": m.kf_obs_pt[k],
+           "k": k, "n_pt": m.n_pt}
+    if vocab is not None:
+        from coslam_tpu.ops import bow
+        words = bow.assign_words(frame.desc, frame.valid, vocab)
+        aux["bow_row"] = bow.bow_vector(words, frame.valid,
+                                        int(vocab.shape[0]))
+    return m, k, aux
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

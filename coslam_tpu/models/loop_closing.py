@@ -216,10 +216,12 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
         # KeyFrame::GetLoopEdges feeding sLoopEdges, Optimizer.cc:898-913)
         pa = jnp.minimum(prev_loops[:, 0], prev_loops[:, 1])
         pb = jnp.maximum(prev_loops[:, 0], prev_loops[:, 1])
-        code = ei.astype(jnp.int64) * K + ej
-        pcode = jnp.where(prev_loops_valid,
-                          pa.astype(jnp.int64) * K + pb, -1)
-        is_prev = jnp.any(code[:, None] == pcode[None, :], axis=1)
+        # compare pairs componentwise: a K-radix int encoding silently
+        # truncates to int32 when x64 is off and would alias pairs once
+        # growth pushes K*K past 2^31
+        is_prev = jnp.any((ei[:, None] == pa[None, :])
+                          & (ej[:, None] == pb[None, :])
+                          & prev_loops_valid[None, :], axis=1)
         evalid = evalid | (is_prev & m.kf_valid[ei] & m.kf_valid[ej])
 
     meas = pose_graph.relative_sim3(v_old, ei, ej)
@@ -316,12 +318,14 @@ class LoopCloser:
             val[i] = True
         return jnp.asarray(arr), jnp.asarray(val)
 
-    def on_keyframe(self, m: ms.MapState, kf_id: int
+    def on_keyframe(self, m: ms.MapState, kf_id: int,
+                    covis_row: Optional[np.ndarray] = None
                     ) -> Tuple[ms.MapState, bool]:
         lcfg = self.cfg.loop
         if kf_id - self.last_loop_kf < lcfg.min_kfs_between_loops:
             return m, False
-        covis_row = np.asarray(_covis_row_jit(m, jnp.asarray(kf_id)))
+        if covis_row is None:
+            covis_row = np.asarray(_covis_row_jit(m, jnp.asarray(kf_id)))
         K = covis_row.shape[0]
         eligible = (np.arange(K) != kf_id) \
             & (covis_row < self.cfg.mapper.covis_edge_threshold) \

@@ -149,6 +149,9 @@ class System:
         # Tracking::InformOnlyTracking)
         self.localization_only = False
         self.n_frames_tracked = 0
+        self._host_n_kf = 0   # exact host mirror of map.n_kf (slot counter)
+        self._host_n_pt = 0   # host mirror of map.n_pt, exact after every
+        #                       insert batch (capacity watermarks only)
         self._init_key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -214,6 +217,16 @@ class System:
         self.timestamps[frame_id] = (float(timestamp) if timestamp is not None
                                      else float(frame_id))
 
+    def _kf_pose_np(self) -> np.ndarray:
+        """Host-side cache of keyframe poses — refreshed only after events
+        that move them (insertion/BA/loop/compaction), so per-frame
+        trajectory anchoring costs no device transfer."""
+        if getattr(self, "_kf_pose_host", None) is None \
+                or getattr(self, "_kf_pose_dirty", True):
+            self._kf_pose_host = np.asarray(self.map.kf_pose)
+            self._kf_pose_dirty = False
+        return self._kf_pose_host
+
     def _log_pose(self, frame_id: int, T) -> Optional[np.ndarray]:
         if T is not None:
             # anchor to the keyframe this frame was actually tracked against
@@ -221,9 +234,8 @@ class System:
             # trajectory relative to it, System.cc:340-380) — NOT the newest
             # keyframe, which may be unrelated after a loop correction
             ref_kf = self.last_ref_kf if self.last_ref_kf >= 0 \
-                else max(int(self.map.n_kf) - 1, 0)
-            T_rel = np.asarray(T) @ np.linalg.inv(
-                np.asarray(self.map.kf_pose[ref_kf]))
+                else max(self._host_n_kf - 1, 0)
+            T_rel = np.asarray(T) @ np.linalg.inv(self._kf_pose_np()[ref_kf])
             self.trajectory.append((frame_id, ref_kf, T_rel))
         return T
 
@@ -240,13 +252,16 @@ class System:
         m = lm.add_depth_points(self.cfg, m, k, sd.depth, close_only=False)
         m = lm.refresh_point_geometry(self.cfg, m)
         self.map = m
+        self._kf_pose_dirty = True
         self.state = "OK"
+        self._host_n_kf = 1
         self.last_T = np.eye(4, dtype=np.float32)
         self.last_kp_pt = m.kf_obs_pt[int(k)]
         self.last_level = frame.level
         self.velocity = None
         self.frames_since_kf = 0
         self.ref_kf_matches = int((m.kf_obs_pt[int(k)] >= 0).sum())
+        self._host_n_pt = self.ref_kf_matches
         self.last_ref_kf = int(k)
         self.db.add(int(k), frame.desc, frame.valid)
 
@@ -279,13 +294,16 @@ class System:
             jnp.asarray(frame_id, jnp.int32), res.T21, res.points3d,
             mm.idx, res.is_inlier & mm.valid)
         self.map = m
+        self._kf_pose_dirty = True
         self.state = "OK"
+        self._host_n_kf = 2
         self.last_T = np.asarray(m.kf_pose[1])
         self.last_kp_pt = m.kf_obs_pt[1]
         self.last_level = frame.level
         self.velocity = None
         self.frames_since_kf = 0
         self.ref_kf_matches = int(n_pts)
+        self._host_n_pt = int(n_pts)
         self.last_ref_kf = 1
         # also log the first keyframe
         self.trajectory.append((self.ref_frame_id, 0, np.eye(4, dtype=np.float32)))
@@ -320,7 +338,13 @@ class System:
                     res2, self.map = tracking.track_local_map(
                         self.cfg, self.map, frame, res.T, res.kp_pt)
 
-        n_inl = int(res2.n_inliers) if res2 is not None else 0
+        if res2 is not None:
+            # ONE bundled transfer for every scalar the state machine needs
+            n_inl, T_np, ref_kf, n_ref = jax.device_get(
+                (res2.n_inliers, res2.T, res2.ref_kf, res2.n_ref_matches))
+            n_inl, ref_kf, n_ref = int(n_inl), int(ref_kf), int(n_ref)
+        else:
+            n_inl = 0
         if n_inl < 10:
             # lost: constant-velocity dead reckoning until relocalization
             # succeeds (reference keeps the LOST state the same way)
@@ -333,21 +357,280 @@ class System:
             return T_np
 
         self.state = "OK"
-        T_np = np.asarray(res2.T)
+        import os as _os
+        if _os.environ.get("COSLAM_DEBUG_CHUNK"):
+            print(f"[pf f={frame_id}] inl={n_inl} nref={n_ref} "
+                  f"fs={self.frames_since_kf + 1}", flush=True)
+        T_np = np.asarray(T_np)
         self.velocity = T_np @ np.linalg.inv(self.last_T)
         self.last_T = T_np
         self.last_kp_pt = res2.kp_pt
         self.last_level = frame.level
-        self.last_ref_kf = int(res2.ref_kf)
+        self.last_ref_kf = ref_kf
+        self.ref_kf_matches = n_ref
         self.frames_since_kf += 1
         self.stats.append({"frame": frame_id, "inliers": n_inl, "lost": False})
 
         if not self.localization_only and self._need_keyframe(n_inl):
-            self._insert_keyframe(frame, frame_id, res2)
+            self._insert_keyframe(frame, frame_id)
             # the frame *is* the new keyframe: report its (BA-adjusted) pose
             # and anchor the log to itself
             T_np = np.asarray(self.last_T)
         return T_np
+
+    # ------------------------------------------------------------------
+    # Chunked steady-state driver (the TPU analogue of the reference's
+    # tracker/mapper thread decoupling, System.cc:92-102)
+    # ------------------------------------------------------------------
+    def run_sequence(self, images, frame_ids=None, timestamps=None,
+                     depths=None, right_images=None,
+                     chunk: Optional[int] = None):
+        """Track a whole (sub)sequence with chunked device dispatch.
+
+        Steady-state frames are processed C at a time by ONE jitted program
+        (models/tracking.py track_chunk): extraction, motion-model +
+        local-map tracking, velocity propagation and the keyframe gate all
+        run on device; the host reads back one small pytree per chunk and
+        performs at most one keyframe insertion.  Frames after the flagged
+        keyframe track against the pre-insertion map — the same bounded
+        asynchrony the reference's threads produce (tracking never waits on
+        LocalMapping; new landmarks are picked up on the next chunk by the
+        whole-map projection of TrackLocalMap).  Initialization and
+        relocalization fall back to the per-frame path.
+
+        `depths` (RGB-D) / `right_images` (stereo) are consulted only at
+        initialization and keyframe insertion, mirroring the reference's use
+        of sensor depth (Tracking.cc:1065-1140).
+        """
+        n = len(images)
+        if chunk is None:
+            chunk = self.cfg.tracker.chunk_frames
+        fid = (lambda i: frame_ids[i]) if frame_ids is not None else \
+            (lambda i: i)
+        ts = (lambda i: timestamps[i]) if timestamps is not None else \
+            (lambda i: None)
+
+        def track_one(i):
+            if depths is not None:
+                return self.track_rgbd(images[i], depths[i], fid(i), ts(i))
+            if right_images is not None:
+                return self.track_stereo(images[i], right_images[i],
+                                         fid(i), ts(i))
+            return self.track_mono(images[i], fid(i), ts(i))
+
+        # adaptive chunk size: right after a keyframe the map is in flux
+        # (fresh triangulations, BA shifts) and a long chunk would track too
+        # long against a stale map — exactly when the reference's tracker
+        # also benefits from its mapper's low latency.  In steady state
+        # (no recent keyframe) chunks grow to the configured size.  Only two
+        # program shapes exist (small/large), both AOT-warmed.
+        small = max(2, chunk // 4)
+        i = 0
+        cur = small
+        while i < n:
+            # the sequence tail and any non-OK stretch run per-frame
+            if self.state != "OK" or n - i < cur:
+                track_one(i)
+                i += 1
+                continue
+            C = cur
+            imgs = jnp.stack([jnp.asarray(images[i + j]) for j in range(C)])
+            carry = tracking.ChunkCarry(
+                T=jnp.asarray(self.last_T),
+                vel=jnp.asarray(self.velocity if self.velocity is not None
+                                else np.eye(4, dtype=np.float32)),
+                has_vel=jnp.asarray(self.velocity is not None),
+                kp_pt=jnp.asarray(self.last_kp_pt),
+                level=jnp.asarray(self.last_level),
+                frames_since_kf=jnp.asarray(self.frames_since_kf, jnp.int32),
+                pt_visible=self.map.pt_visible, pt_found=self.map.pt_found)
+            carry2, steps, frames, kp_pts, vis_snap, found_snap = \
+                tracking.track_chunk(self.cfg, self.map, imgs,
+                                     not self.localization_only, carry)
+            out = jax.device_get(steps)        # ONE transfer per chunk
+            oks = np.asarray(out.ok)
+            first_bad = int(np.argmin(oks)) if not oks.all() else C
+            import os as _os
+            if _os.environ.get("COSLAM_DEBUG_CHUNK"):
+                print(f"[chunk i={i} C={C}] inl={list(out.n_inliers)} "
+                      f"nref={list(out.n_ref_matches)} "
+                      f"need={list(np.asarray(out.need_kf).astype(int))} "
+                      f"ok={list(oks.astype(int))}", flush=True)
+
+            # CUT-AT-KEYFRAME semantics: accept frames only up to and
+            # including the FIRST keyframe-flagged frame; later frames are
+            # discarded and re-tracked next chunk against the UPDATED map.
+            # This makes the chunked driver's output per-frame-exact (the
+            # mapper never lags the tracker), trading a little discarded
+            # device work — the dispatch/readback round trips, which are
+            # what dominate on a remote-attached TPU, stay amortized.
+            #
+            # A frame can also DEGRADE without flagging: when per-chunk
+            # decay is fast, inliers may fall from above the c2 insertion
+            # band straight below its >15 floor in one step — the gate then
+            # never fires and the chunk would free-run on a stale map.  Cut
+            # BEFORE the first such frame and hand it to the per-frame path,
+            # which treats it exactly as the reference tracker would.
+            inl = np.asarray(out.n_inliers)
+            nref = np.asarray(out.n_ref_matches)
+            degraded = (inl <= 15) | (inl < 0.5 * nref)
+            deg_idx = np.nonzero(degraded[:first_bad])[0]
+            limit = int(deg_idx[0]) if deg_idx.size else first_bad
+
+            if limit == 0:
+                # no safely-usable prefix — per-frame path arbitrates this
+                # frame (tracks it, inserts, or enters LOST/reloc)
+                track_one(i)
+                i += 1
+                continue
+
+            needs = np.asarray(out.need_kf)
+            flag_idx = np.nonzero(needs[:limit])[0]
+            j1 = int(flag_idx[0]) if flag_idx.size else None
+            n_acc = limit if j1 is None else j1 + 1
+
+            kf_pose_np = self._kf_pose_np()
+            for j in range(n_acc):
+                self._note_frame(fid(i + j), ts(i + j))
+                ref_kf = int(out.ref_kf[j])
+                T_rel = out.T[j] @ np.linalg.inv(kf_pose_np[ref_kf])
+                self.trajectory.append((fid(i + j), ref_kf, T_rel))
+                self.stats.append({"frame": fid(i + j),
+                                   "inliers": int(out.n_inliers[j]),
+                                   "lost": False})
+
+            # merge the chunk's visibility statistics AT the cut index;
+            # restore tracker state from the LAST accepted frame
+            last = n_acc - 1
+            if n_acc == C:
+                vis, found = carry2.pt_visible, carry2.pt_found
+            else:
+                vis, found = vis_snap[last], found_snap[last]
+            self.map = self.map._replace(pt_visible=vis, pt_found=found)
+            prev_T = np.asarray(out.T[last - 1]) if last >= 1 else self.last_T
+            self.last_T = np.asarray(out.T[last])
+            self.velocity = self.last_T @ np.linalg.inv(prev_T) \
+                if (last >= 1 or self.velocity is not None) else None
+            if n_acc == C:
+                self.last_kp_pt = carry2.kp_pt
+                self.last_level = carry2.level
+            else:
+                self.last_kp_pt = kp_pts[last]
+                self.last_level = frames.level[last]
+            self.last_ref_kf = int(out.ref_kf[last])
+            self.ref_kf_matches = int(out.n_ref_matches[last])
+            self.frames_since_kf += n_acc
+
+            if j1 is not None:
+                # insert the flagged keyframe (the chunk's final accepted
+                # frame), then hand tracking the keyframe's post-backend
+                # observation row + BA-adjusted pose — the per-frame handoff
+                last_kf_i = self._insert_keyframes_batch(
+                    [(j1, fid(i + j1))],
+                    frames, kp_pts, out, images, depths, right_images, i)
+                self.stats[-1]["keyframe"] = True
+                self.frames_since_kf = 0
+                self.last_kp_pt = self.map.kf_obs_pt[last_kf_i]
+                self.last_T = self._last_insert_pose
+                self.last_ref_kf = last_kf_i
+                # the keyframe frame anchors to itself (reference keeps
+                # mpReferenceKF = the new KF for that frame)
+                self.trajectory[-1] = (fid(i + j1), last_kf_i,
+                                       np.eye(4, dtype=np.float32))
+            # a cut chunk (keyframe or degradation) starts the next stretch
+            # with a small chunk; clean full chunks grow back
+            cur = small if n_acc < C else chunk
+            i += n_acc
+
+    def _insert_keyframes_batch(self, jobs, frames, kp_pts, out,
+                                images, depths, right_images, base_i):
+        """Insert a chunk's flagged keyframes: every backend_insert program
+        is dispatched without waiting (XLA queues them on device), then one
+        bundled transfer collects each keyframe's BoW row / covisibility /
+        pose.  Place recognition + loop closing run once on the newest
+        keyframe (the reference's LoopClosing thread also works one KF at a
+        time off the back of its queue, LoopClosing.cc:90-101)."""
+        cfg = self.cfg
+        # headroom for the whole batch so compaction never fires between
+        # pipelined inserts; if it fires NOW, _remap_after_compact must also
+        # remap the chunk's pending keypoint->landmark bindings
+        N = self.cfg.extractor.max_keypoints
+        self._pending_pt_arrays = [kp_pts]
+        self._ensure_capacity(kf_headroom=len(jobs),
+                              pt_headroom=len(jobs) * N)
+        kp_pts = self._pending_pt_arrays[0]
+        self._pending_pt_arrays = []
+        pend = []
+        # running map-frame correction: each insert's local BA may shift the
+        # map, so every SUBSEQUENT insert pose (expressed in the pre-chunk
+        # tracking frame) must be re-expressed in the current map frame —
+        # raw_pose @ corr, with corr updated from each BA result.  Without
+        # this the batch feeds back BA shifts as pose error (scale drift).
+        corr = None                        # device (4, 4), no readbacks
+        for jq, frame_id in jobs:
+            frame_j = jax.tree.map(lambda a: a[jq], frames)
+            depth_j = self._depth_for(frame_j, images, depths, right_images,
+                                      base_i + jq)
+            T_raw = jnp.asarray(out.T[jq])
+            T_in = T_raw if corr is None else T_raw @ corr
+            m, _k, aux = lm.backend_insert(
+                cfg, self.map, frame_j, T_in,
+                jnp.asarray(frame_id, jnp.int32), kp_pts[jq],
+                depth_j is not None, depth_j, self.db.vocab)
+            self.map = m
+            # raw_pose @ corr == BA-adjusted pose  =>  corr = raw^-1 @ post
+            corr = geo.se3_inverse(T_raw) @ aux["pose"]
+            kf_i = self._host_n_kf      # exact mirror of m.n_kf
+            self._host_n_kf += 1
+            pend.append((kf_i, aux))
+        get = jax.device_get([(a["bow_row"], a["n_pt"], a["covis_row"],
+                               a["pose"]) for _, a in pend])  # ONE transfer
+        for (kf_i, _), (bow_row, *_rest) in zip(pend, get):
+            self.db.add_row(kf_i, bow_row)
+        self._host_n_pt = int(get[-1][1])
+        # re-anchor the tracker's pose to the corrected map frame (the
+        # reference achieves this implicitly — every TrackLocalMap
+        # pose-optimizes against the refreshed landmarks)
+        j_last = jobs[-1][0]
+        T_post = np.asarray(get[-1][3])
+        self._last_insert_pose = T_post
+        self.last_T = (self.last_T @ np.linalg.inv(np.asarray(out.T[j_last]))
+                       @ T_post).astype(np.float32)
+        self._kf_pose_dirty = True
+        self.db.maybe_retrain(self.map)
+        m = self.map
+        if self.loop_closer is not None:
+            m = self.loop_closer.maybe_run_gba(m)
+            last_kf = pend[-1][0]
+            m, closed = self.loop_closer.on_keyframe(
+                m, last_kf, covis_row=get[-1][2])
+            if closed:
+                self.n_loops_closed += 1
+                m = lm.refresh_point_geometry(cfg, m)
+                self.stats[-1]["loop_closed"] = True
+                self._kf_pose_dirty = True
+        self.map = m
+        return pend[-1][0]
+
+    def _depth_for(self, frame_j, images, depths, right_images, idx):
+        """Per-keypoint depth for a keyframe chosen inside a chunk (RGB-D
+        backprojection / stereo row-banded matching on that frame only)."""
+        if depths is not None:
+            from coslam_tpu.ops import stereo as stereo_ops
+            return stereo_ops.rgbd_depth(
+                self.cfg.camera, frame_j.uv, frame_j.valid,
+                jnp.asarray(depths[idx])).depth
+        if right_images is not None:
+            from coslam_tpu.ops import orb, stereo as stereo_ops
+            kpsR = orb.extract(jnp.asarray(right_images[idx]),
+                               self.cfg.extractor)
+            kpsL = {"uv": frame_j.uv, "level": frame_j.level,
+                    "desc": frame_j.desc, "valid": frame_j.valid}
+            return stereo_ops.match_stereo(
+                self.cfg.camera, self.cfg.extractor, self.cfg.matcher,
+                kpsL, kpsR, jnp.asarray(images[idx]),
+                jnp.asarray(right_images[idx])).depth
+        return None
 
     # ------------------------------------------------------------------
     def _attempt_relocalization(self, frame: Frame):
@@ -373,36 +656,62 @@ class System:
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int) -> bool:
-        """NeedNewKeyFrame (Tracking.cc:979-1063) distilled: enough frames
-        passed, or tracking decayed below ref_ratio of the reference KF."""
+        """NeedNewKeyFrame (reference Tracking.cc:979-1063), the exact
+        conjunction (c1a||c1b||c1c) && c2 with nRefMatches =
+        TrackedMapPoints(nMinObs=3) of the reference KF (computed on device
+        each frame, tracking.TrackResult.n_ref_matches).  The local mapper
+        here is synchronous, so bLocalMappingIdle is always true and c1b
+        reduces to the min_frames floor.  No capacity gate: _insert_keyframe
+        recycles/grows slots on demand (models/compaction.py), matching the
+        reference's unbounded map."""
         tr = self.cfg.tracker
-        # no capacity gate: _insert_keyframe recycles/grows slots on demand
-        # (models/compaction.py), matching the reference's unbounded map
+        n_ref = self.ref_kf_matches
+        ratio = tr.ref_ratio_mono if self.cfg.sensor == "mono" else 0.75
+        if self._host_n_kf < 2:
+            ratio = 0.4                          # Tracking.cc:1019
         c1a = self.frames_since_kf >= tr.max_frames
-        c1c = n_inliers < self.ref_kf_matches * 0.25
-        c2 = (n_inliers < self.ref_kf_matches * tr.ref_ratio_mono
-              and n_inliers > 15)
-        return bool((c1a or c1c) and n_inliers > 15) or bool(c2 and self.frames_since_kf >= 1)
+        c1b = self.frames_since_kf >= tr.min_frames
+        c1c = (self.cfg.sensor != "mono"
+               and n_inliers < n_ref * 0.25)
+        c2 = n_inliers < n_ref * ratio and n_inliers > 15
+        return bool((c1a or c1b or c1c) and c2)
 
     # ------------------------------------------------------------------
-    def _ensure_capacity(self):
+    def _ensure_capacity(self, kf_headroom: int = 1,
+                         pt_headroom: Optional[int] = None):
         """Slot recycling + geometric growth (the analogue of the
         reference's erase lifecycle, Map.cc:55 / KeyFrame.cc:453, which lets
         it run indefinitely).  At capacity watermarks, compact culled slots
         away (models/compaction.py); if compaction cannot free enough —
         pure exploration, nothing cullable — double the capacity, which
-        re-specializes the jitted stages once per doubling."""
+        re-specializes the jitted stages once per doubling.
+
+        Watermarks are checked against HOST MIRRORS of n_kf / n_pt (exact
+        after every insert batch), so the steady-state path never blocks on
+        a device scalar.  `kf_headroom`/`pt_headroom` reserve room for a
+        whole batch of pipelined insertions, during which compaction must
+        not fire (pending keypoint->landmark bindings would hold stale
+        slot ids)."""
         from coslam_tpu.models import compaction
 
         K = self.cfg.mapper.max_keyframes
         P = self.cfg.mapper.max_points
-        if int(self.map.n_kf) < K - 1 and int(self.map.n_pt) < 0.95 * P:
+        N = self.cfg.extractor.max_keypoints
+        if pt_headroom is None:
+            pt_headroom = N
+        # conservative upper bound on points since the last exact reading
+        n_pt_est = getattr(self, "_host_n_pt", 0)
+        if (self._host_n_kf + kf_headroom < K - 1
+                and n_pt_est + pt_headroom < 0.95 * P):
             return
         old = self.map
         new_m, kf_map, pt_map = compaction.compact(self.cfg, old)
         self._remap_after_compact(old, new_m, kf_map, pt_map)
         self.map = new_m
+        self._kf_pose_dirty = True
         n_kf, n_pt = int(new_m.n_kf), int(new_m.n_pt)
+        self._host_n_kf = n_kf
+        self._host_n_pt = n_pt
         grow_K = 2 * K if n_kf >= K - max(4, K // 16) else 0
         grow_P = 2 * P if n_pt >= 0.90 * P else 0
         if grow_K or grow_P:
@@ -443,6 +752,11 @@ class System:
             kp = np.asarray(self.last_kp_pt)
             kp = np.where(kp >= 0, pt_map[np.maximum(kp, 0)], -1)
             self.last_kp_pt = jnp.asarray(kp)
+        pend = getattr(self, "_pending_pt_arrays", [])
+        for idx, arr in enumerate(pend):
+            a = np.asarray(arr)
+            pend[idx] = jnp.asarray(
+                np.where(a >= 0, pt_map[np.maximum(a, 0)], -1))
         self.last_ref_kf = remap_kf(self.last_ref_kf) \
             if self.last_ref_kf >= 0 else -1
         self.db.remap(kf_map, new_K=kf_map.shape[0])
@@ -457,40 +771,58 @@ class System:
             self.loop_closer.cfg = cfg2
 
     def _insert_keyframe(self, frame: Frame, frame_id: int,
-                         res: tracking.TrackResult):
+                         update_track_state: bool = True):
         self._ensure_capacity()
         cfg = self.cfg
         # the whole LocalMapping iteration (insertion + depth points +
         # triangulation + fusion + refresh + windowed local BA + culling) is
-        # one fused jitted program — one dispatch, one compile
+        # one fused jitted program — one dispatch, one compile.
+        # NOTE: use self.last_kp_pt, NOT res.kp_pt — _ensure_capacity may
+        # have compacted the map (every landmark moved slots) and
+        # _remap_after_compact remaps self.last_kp_pt through pt_map;
+        # res.kp_pt still holds pre-compaction ids
         has_depth = getattr(self, "_cur_depth", None) is not None
-        m, k = lm.backend_insert(
+        m, k, aux = lm.backend_insert(
             cfg, self.map, frame, jnp.asarray(self.last_T),
             jnp.asarray(frame_id, jnp.int32),
-            res.kp_pt, has_depth, self._cur_depth if has_depth else None)
+            jnp.asarray(self.last_kp_pt), has_depth,
+            self._cur_depth if has_depth else None, self.db.vocab)
+        # ONE bundled transfer: slot id + BoW row + covisibility row + pose
+        kf_i, bow_row, covis_row, pose, n_pt = jax.device_get(
+            (k, aux["bow_row"], aux["covis_row"], aux["pose"], aux["n_pt"]))
+        kf_i = int(kf_i)
+        self._host_n_kf = kf_i + 1
+        self._host_n_pt = int(n_pt)
         # place recognition + loop closing (reference LoopClosing thread;
         # here a synchronous stage after local mapping)
-        kf_i = int(k)
-        self.db.add(kf_i, m.kf_desc[kf_i], m.kf_kp_valid[kf_i])
+        self.db.add_row(kf_i, bow_row)
         self.db.maybe_retrain(m)
+        pose_moved = False
         if self.loop_closer is not None:
             # a global BA deferred from the previous closure runs now unless
             # a newer loop supersedes it (the reference's abort-on-new-loop
             # GBA thread semantics, LoopClosing.cc:579)
-            m = self.loop_closer.maybe_run_gba(m)
-            m, closed = self.loop_closer.on_keyframe(m, kf_i)
+            m2 = self.loop_closer.maybe_run_gba(m)
+            pose_moved = m2 is not m
+            m, closed = self.loop_closer.on_keyframe(m2, kf_i,
+                                                     covis_row=covis_row)
             if closed:
+                pose_moved = True
                 self.n_loops_closed += 1
                 m = lm.refresh_point_geometry(cfg, m)
                 self.stats[-1]["loop_closed"] = True
         self.map = m
-        # tracking references the (possibly BA-shifted) new KF pose
-        self.last_T = np.asarray(m.kf_pose[k])
-        self.last_kp_pt = m.kf_obs_pt[k]
-        self.last_ref_kf = kf_i
-        self.frames_since_kf = 0
-        self.ref_kf_matches = int((m.kf_obs_pt[k] >= 0).sum())
-        self.stats[-1]["keyframe"] = True
+        self._kf_pose_dirty = True
+        if update_track_state:
+            # tracking references the (possibly BA-shifted) new KF pose
+            self.last_T = np.asarray(m.kf_pose[kf_i]) if pose_moved \
+                else np.asarray(pose)
+            self.last_kp_pt = m.kf_obs_pt[kf_i]
+            self.last_ref_kf = kf_i
+            self.frames_since_kf = 0
+        if self.stats:
+            self.stats[-1]["keyframe"] = True
+        return kf_i
 
     # ------------------------------------------------------------------
     def trajectory_poses(self):
@@ -522,6 +854,9 @@ class System:
         System::Reset, System.h:92 -> Tracking::Reset, Tracking.cc:1506:
         LocalMapping/LoopClosing reset + map clear + reinit)."""
         self.map = ms.empty_map(self.cfg)
+        self._kf_pose_dirty = True
+        self._host_n_kf = 0
+        self._host_n_pt = 0
         self.db = kdb.KeyFrameDatabase(self.cfg)
         if self.loop_closer is not None:
             self.loop_closer = lc.LoopCloser(self.cfg, self.db)
@@ -547,6 +882,7 @@ class System:
         if self.loop_closer is not None:
             # flush a deferred global BA so the exported map is consistent
             self.map = self.loop_closer.maybe_run_gba(self.map)
+            self._kf_pose_dirty = True
         jax.block_until_ready(self.map.kf_pose)
         n_kf = int(np.asarray(self.map.kf_valid).sum())
         n_pt = int(np.asarray(self.map.pt_valid).sum())

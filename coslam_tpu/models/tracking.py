@@ -15,6 +15,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from coslam_tpu.config import SystemConfig
 from coslam_tpu.models.frame import Frame
@@ -34,7 +35,15 @@ class TrackResult(NamedTuple):
     # keyframe sharing the most tracked landmarks with this frame — the
     # reference's mpReferenceKF (Tracking::UpdateLocalKeyFrames pKFmax,
     # Tracking.cc:1169-1215); trajectory logging anchors to it
-    ref_kf: jnp.ndarray = jnp.asarray(-1, jnp.int32)
+    ref_kf: jnp.ndarray = np.int32(-1)  # weak-typed: folds to an HLO literal
+                                        # (a device constant here would force
+                                        # a host fetch at lowering time)
+    # reference-KF tracked landmarks with >= 3 observations — the
+    # reference's nRefMatches = mpReferenceKF->TrackedMapPoints(nMinObs)
+    # (Tracking.cc:988-990), the denominator of the keyframe decision.
+    # Counting every observation (including fresh 1-obs triangulations)
+    # makes the c2 ratio fire on every frame.
+    n_ref_matches: jnp.ndarray = np.int32(0)
 
 
 def _project_points(cam, T, X):
@@ -240,10 +249,15 @@ def _local_map_body(cfg: SystemConfig, m: MapState, frame: Frame,
     kp_pt = jnp.where(res.inliers, kp_pt, -1)
 
     # visibility / found statistics for culling (MapPoint mnVisible/mnFound)
-    pt_visible = m.pt_visible + visible.astype(jnp.int32)
+    # — committed only when the pose actually tracked: a frame the System
+    # declares LOST must not poison found/visible ratios with counts from a
+    # garbage pose (repeated lost frames would cull healthy landmarks)
+    tracked_ok = res.n_inliers >= 10
+    pt_visible = m.pt_visible + jnp.where(tracked_ok,
+                                          visible.astype(jnp.int32), 0)
     found = jnp.zeros(P, jnp.int32).at[jnp.maximum(kp_pt, 0)].add(
         (kp_pt >= 0).astype(jnp.int32))
-    pt_found = m.pt_found + found
+    pt_found = m.pt_found + jnp.where(tracked_ok, found, 0)
     m = m._replace(pt_visible=pt_visible, pt_found=pt_found)
 
     # reference keyframe: the KF observing the most of this frame's tracked
@@ -256,9 +270,20 @@ def _local_map_body(cfg: SystemConfig, m: MapState, frame: Frame,
     shared = jnp.where(m.kf_valid, shared, -1.0)
     ref_kf = jnp.argmax(shared).astype(jnp.int32)
 
+    # nRefMatches = reference KF's landmarks with >= nMinObs observations
+    # (Tracking.cc:985-990, nMinObs = 3, or 2 while the map has <= 2 KFs)
+    from coslam_tpu.models import map_state as ms_mod
+    pobs = ms_mod.point_obs_count(m)
+    min_obs = jnp.where(m.n_kf <= 2, 2, 3)
+    row = m.kf_obs_pt[ref_kf]
+    row_ok = (row >= 0) & m.kf_kp_valid[ref_kf] \
+        & m.pt_valid[jnp.maximum(row, 0)]
+    n_ref = (row_ok & (pobs[jnp.maximum(row, 0)] >= min_obs)).sum()
+
     return TrackResult(T=res.T, kp_pt=kp_pt,
                        n_matches=(kp_pt >= 0).sum(),
-                       n_inliers=res.n_inliers, ref_kf=ref_kf), m
+                       n_inliers=res.n_inliers, ref_kf=ref_kf,
+                       n_ref_matches=n_ref.astype(jnp.int32)), m
 
 
 def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
@@ -282,6 +307,100 @@ def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
                            jnp.stack([radius, 2.0 * radius]))
     res2, m = _local_map_body(cfg, m, frame, res1.T, res1.kp_pt)
     return res1.n_inliers, res2, m
+
+
+class ChunkCarry(NamedTuple):
+    """Device-resident tracking state carried across frames of a chunk —
+    the state the reference Tracking object keeps between GrabImage calls
+    (mVelocity, mLastFrame's pose and map-point bindings, counters)."""
+    T: jnp.ndarray            # (4, 4) f32 last tracked pose
+    vel: jnp.ndarray          # (4, 4) f32 constant-velocity model
+    has_vel: jnp.ndarray      # () bool
+    kp_pt: jnp.ndarray        # (N,) i32 last frame's landmark bindings
+    level: jnp.ndarray        # (N,) i32 last frame's keypoint octaves
+    frames_since_kf: jnp.ndarray  # () i32
+    pt_visible: jnp.ndarray   # (P,) i32 running visibility stats
+    pt_found: jnp.ndarray     # (P,) i32
+
+
+class ChunkStep(NamedTuple):
+    """Per-frame outputs of a chunk (small; ONE bundled host transfer per
+    chunk replaces per-frame scalar readbacks)."""
+    T: jnp.ndarray            # (C, 4, 4)
+    n_inliers: jnp.ndarray    # (C,) i32
+    ref_kf: jnp.ndarray       # (C,) i32
+    n_ref_matches: jnp.ndarray  # (C,) i32
+    need_kf: jnp.ndarray      # (C,) bool
+    ok: jnp.ndarray           # (C,) bool (False = this frame is LOST)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
+                carry: ChunkCarry):
+    """Steady-state tracking of a CHUNK of frames in ONE device dispatch.
+
+    The reference decouples its tracker from its mapper with threads
+    (System.cc:92-102): tracking never blocks on the backend, and the map a
+    frame tracks against may lag by the mapper's latency.  The TPU analogue
+    is this program: `lax.scan` over C frames — ORB extraction
+    (Frame.cc:174), motion-model + local-map tracking (Tracking.cc:869,932)
+    and the NeedNewKeyFrame gate (Tracking.cc:979) all on device, with the
+    constant-velocity state carried between frames — followed by at most one
+    keyframe insertion on the host.  Frames after the keyframe-flagged one
+    track against the pre-insertion map, exactly the reference's bounded
+    tracker/mapper asynchrony (new landmarks are picked up on the next chunk
+    by TrackLocalMap's whole-map projection).
+
+    Returns (new_carry, per-step outputs, stacked Frames, per-step kp_pt).
+    The System reads back ONE small pytree per chunk; the keyframe frame's
+    data stays on device.
+    """
+    from coslam_tpu.models.frame import build_frame
+
+    tr = cfg.tracker
+    mono = cfg.sensor == "mono"
+    ratio_n = tr.ref_ratio_mono if mono else 0.75
+    eye = jnp.eye(4, dtype=jnp.float32)
+
+    def step(c: ChunkCarry, img):
+        frame = build_frame(img, cfg)
+        T_pred = jnp.where(c.has_vel, c.vel @ c.T, c.T)
+        radius = jnp.where(c.has_vel, jnp.float32(15.0), jnp.float32(30.0))
+        m_c = m._replace(pt_visible=c.pt_visible, pt_found=c.pt_found)
+        _n1, res, m2 = _track_body(cfg, m_c, frame, c.kp_pt, c.level,
+                                   T_pred, radius)
+        ok = res.n_inliers >= 10
+        T_new = jnp.where(ok, res.T, T_pred)
+        vel_new = T_new @ geo.se3_inverse(c.T)
+        fs = c.frames_since_kf + 1
+
+        # NeedNewKeyFrame (Tracking.cc:979-1063); the synchronous mapper is
+        # always "idle", so c1b reduces to the min_frames floor
+        n_ref = res.n_ref_matches
+        ratio = jnp.where(m.n_kf < 2, jnp.float32(0.4), jnp.float32(ratio_n))
+        c1a = fs >= tr.max_frames
+        c1b = fs >= tr.min_frames
+        c1c = (not mono) & (res.n_inliers < 0.25 * n_ref)
+        c2 = (res.n_inliers < n_ref * ratio) & (res.n_inliers > 15)
+        need = allow_kf & ok & (c1a | c1b | c1c) & c2
+
+        c_new = ChunkCarry(
+            T=T_new, vel=jnp.where(ok, vel_new, eye),
+            has_vel=ok,
+            kp_pt=jnp.where(ok, res.kp_pt, -1),
+            level=frame.level, frames_since_kf=fs,
+            pt_visible=m2.pt_visible, pt_found=m2.pt_found)
+        out = ChunkStep(T=T_new, n_inliers=res.n_inliers, ref_kf=res.ref_kf,
+                        n_ref_matches=n_ref, need_kf=need, ok=ok)
+        # per-step visibility-stat snapshots let the host restore the map's
+        # counters at ANY cut index (cut-at-keyframe semantics), keeping
+        # MapPointCulling's found/visible ratios per-frame-exact
+        return c_new, (out, frame, jnp.where(ok, res.kp_pt, -1),
+                       m2.pt_visible, m2.pt_found)
+
+    carry2, (steps, frames, kp_pts, vis_snap, found_snap) = jax.lax.scan(
+        step, carry, imgs)
+    return carry2, steps, frames, kp_pts, vis_snap, found_snap
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

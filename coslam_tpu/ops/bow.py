@@ -74,6 +74,65 @@ def train_vocabulary(descriptors: np.ndarray, n_words: int = 1024,
     return _pack_bits_np(centers)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def train_vocabulary_device(desc: jnp.ndarray, valid: jnp.ndarray,
+                            n_words: int, iters: int,
+                            key=None) -> jnp.ndarray:
+    """Binary k-means on the MXU: (n, 8) packed descriptors (+ validity
+    mask) -> (n_words, 8) uint32 words.  Same algorithm as the host
+    `train_vocabulary` (Hamming assignment == squared euclidean on bits,
+    majority-vote centroid update), but the (n, W) assignment matmul runs
+    on device — retraining mid-run costs one dispatch instead of tens of
+    seconds of 2-core numpy (the round-2 p95 latency spike).
+
+    Replaces the reference's offline DBoW2 vocabulary build (the k-means++
+    of TemplatedVocabulary::create; reference loads the result at
+    System.cc:61-72)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = desc.shape[0]
+    # unpack to (n, 256) bits in bf16 — the assignment matmul is the cost
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((desc[:, :, None] >> shifts[None, None, :]) & 1)
+    bits = bits.reshape(n, -1).astype(jnp.bfloat16)           # (n, 256)
+    bitsf = jnp.where(valid[:, None], bits, 0)
+    # init: spread word seeds over the valid pool
+    perm = jax.random.permutation(key, n)
+    seed_idx = perm[jnp.arange(n_words) % n]
+    centers = bits[seed_idx].astype(jnp.float32)              # (W, 256)
+
+    def body(_, centers):
+        cb = centers.astype(jnp.bfloat16)
+        d = ((bits.astype(jnp.float32) ** 2).sum(1, keepdims=True)
+             - 2.0 * (bits @ cb.T).astype(jnp.float32)
+             + (centers ** 2).sum(1)[None])                    # (n, W)
+        d = jnp.where(valid[:, None], d, jnp.inf)
+        assign = jnp.argmin(d, axis=1)
+        sums = jnp.zeros((n_words, bits.shape[1]), jnp.float32).at[
+            assign].add(bitsf.astype(jnp.float32))
+        counts = jnp.zeros(n_words, jnp.float32).at[assign].add(
+            valid.astype(jnp.float32))
+        upd = counts > 0
+        new_c = (sums / jnp.maximum(counts[:, None], 1.0)) >= 0.5
+        # empty words keep their previous centroid (host version re-seeds
+        # randomly; a stable fallback is fine — empty words score zero tf)
+        return jnp.where(upd[:, None], new_c.astype(jnp.float32), centers)
+
+    centers = jax.lax.fori_loop(0, iters, body, centers)
+    # pack (W, 256) bits -> (W, 8) uint32
+    cb = (centers >= 0.5).astype(jnp.uint32).reshape(n_words, 8, 32)
+    return (cb << shifts[None, None, :]).sum(-1).astype(jnp.uint32)
+
+
+def bow_rows(kf_desc: jnp.ndarray, kf_kp_valid: jnp.ndarray,
+             vocab: jnp.ndarray, n_words: int) -> jnp.ndarray:
+    """Batched BoW rows for every keyframe: (K, N, 8) descriptors ->
+    (K, W) L1-normalized tf matrix, one dispatch (used to rebuild the
+    place-recognition database after a vocabulary retrain)."""
+    return jax.vmap(lambda d, v: bow_vector(assign_words(d, v, vocab), v,
+                                            n_words))(kf_desc, kf_kp_valid)
+
+
 def synthetic_default_vocabulary(n_words: int = 1024) -> np.ndarray:
     """Deterministic fallback vocabulary from random bit centroids (LSH-like
     partition).  Adequate for synthetic scenes; real deployments train with

@@ -249,5 +249,8 @@ def solve_body(cam: CameraConfig, prob: BAProblem, iters: int,
     r, _, _, behind = _proj_residuals(cam, poses, points, prob)
     chi2 = jnp.sum(r * r, 1) * prob.obs_w
     inlier = prob.obs_valid & ~behind & (chi2 < chi2_th)
-    return BAResult(poses=poses, points=points, obs_inlier=inlier,
+    # project rotations back to SO(3): exp-update composition drift would
+    # otherwise compound through downstream pose algebra (geo.project_so3)
+    return BAResult(poses=geo.project_se3(poses), points=points,
+                    obs_inlier=inlier,
                     cost=total_cost(poses, points, robust))

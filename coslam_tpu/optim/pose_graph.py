@@ -41,8 +41,9 @@ def vertices_from_se3(poses, s=None):
 
 def vertices_to_se3(v: Sim3Vertices):
     """[R | t/s] like the reference's conversion after graph optimization
-    (LoopClosing.cc:471-478, Optimizer.cc:1030-1040)."""
-    return geo.se3(v.R, v.t / v.s[:, None])
+    (LoopClosing.cc:471-478, Optimizer.cc:1030-1040).  Rotations projected
+    back to SO(3) (see geo.project_so3)."""
+    return geo.se3(geo.project_so3(v.R), v.t / v.s[:, None])
 
 
 def _compose(sa, Ra, ta, sb, Rb, tb):

@@ -128,7 +128,8 @@ def optimize_pose(cam: CameraConfig, T_init, X, uv, valid, inv_sigma2,
             rounds=cfg.pose_opt_rounds, iters=cfg.pose_opt_iters,
             chi2_th=cfg.chi2_mono)
         inliers = inl[:N] & valid
-        return PoseOptResult(T=T, inliers=inliers, n_inliers=inliers.sum())
+        return PoseOptResult(T=geo.project_se3(T), inliers=inliers,
+                             n_inliers=inliers.sum())
 
     return _optimize_pose_xla_testonly(cam, T_init, X, uv, valid, inv_sigma2,
                                        cfg)
@@ -196,4 +197,7 @@ def _optimize_pose_xla_testonly(cam: CameraConfig, T_init, X, uv, valid,
                          jnp.sum(r * r, 1) * inv_sigma2, jnp.inf)
         active = valid & (chi2 < chi2_th)
     inliers = active
-    return PoseOptResult(T=T, inliers=inliers, n_inliers=inliers.sum())
+    # project back to SO(3): inherited drift otherwise compounds through
+    # velocity-model compositions (see geo.project_so3)
+    return PoseOptResult(T=geo.project_se3(T), inliers=inliers,
+                         n_inliers=inliers.sum())

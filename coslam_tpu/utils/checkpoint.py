@@ -52,6 +52,12 @@ def save_system(path: str, system) -> None:
         "db_bows": system.db.bows,
         "db_has": system.db.has,
         "db_vocab": np.asarray(system.db.vocab),
+        # capacities may have grown past the construction-time cfg
+        # (models/compaction.py grow); the loader must widen cfg to match
+        # the restored arrays or _ensure_capacity would compute watermarks
+        # against stale K/P
+        "max_keyframes": system.cfg.mapper.max_keyframes,
+        "max_points": system.cfg.mapper.max_points,
     }
     save_map(path, system.map, extra)
 
@@ -60,6 +66,20 @@ def load_system(path: str, system) -> None:
     """Restore a checkpoint into an already-constructed System (same cfg)."""
     m, extra = load_map(path)
     system.map = m
+    system._kf_pose_dirty = True
+    system._host_n_kf = int(np.asarray(m.n_kf))
+    system._host_n_pt = int(np.asarray(m.n_pt))
+    # restore (possibly grown) capacities so watermark logic and the DB
+    # match the restored array shapes
+    K_saved = int(extra.get("max_keyframes", m.kf_pose.shape[0]))
+    P_saved = int(extra.get("max_points", m.pt_pos.shape[0]))
+    if (K_saved != system.cfg.mapper.max_keyframes
+            or P_saved != system.cfg.mapper.max_points):
+        import dataclasses
+        cfg2 = system.cfg.replace(mapper=dataclasses.replace(
+            system.cfg.mapper,
+            max_keyframes=K_saved, max_points=P_saved))
+        system._set_cfg(cfg2)
     system.last_T = extra["last_T"].astype(np.float32)
     system.velocity = (extra["velocity"].astype(np.float32)
                        if extra["velocity"].size else None)

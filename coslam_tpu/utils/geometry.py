@@ -162,6 +162,28 @@ def se3_inverse(T):
     return se3(Rt, t)
 
 
+def project_so3(R):
+    """Nearest-rotation projection by Gram-Schmidt on (..., 3, 3) ROWS.
+
+    Chained f32 pose compositions (exp-update optimizers, velocity models)
+    drift off SO(3); because `se3_inverse` uses R^T, un-projected drift is
+    re-injected into every motion prediction and COMPOUNDS (doubling per
+    composition — a 1e-7 seed reaches 1e-2 within ~20 frames and collapses
+    tracking).  Optimizer boundaries project their output through this."""
+    r0 = R[..., 0, :]
+    r0 = r0 / (jnp.linalg.norm(r0, axis=-1, keepdims=True) + 1e-12)
+    r1 = R[..., 1, :]
+    r1 = r1 - jnp.sum(r1 * r0, -1, keepdims=True) * r0
+    r1 = r1 / (jnp.linalg.norm(r1, axis=-1, keepdims=True) + 1e-12)
+    r2 = jnp.cross(r0, r1)
+    return jnp.stack([r0, r1, r2], axis=-2)
+
+
+def project_se3(T):
+    """Re-orthonormalize the rotation block of (..., 4, 4) poses."""
+    return se3(project_so3(rot(T)), trans(T))
+
+
 def exp_se3(xi):
     """se3 exp: (..., 6) twist [rho(3), phi(3)] -> (..., 4, 4).
 

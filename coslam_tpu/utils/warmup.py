@@ -73,16 +73,35 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     def job(name: str, fn: Callable[[], None]):
         jobs.append((name, fn))
 
+    W_voc = cfg.loop.vocab_words or \
+        cfg.loop.vocab_branching ** cfg.loop.vocab_depth
+    vocab = jax.ShapeDtypeStruct((W_voc, 8), jnp.uint32)
+    scalar_b = jax.ShapeDtypeStruct((), jnp.bool_)
+    P = cfg.mapper.max_points
+    carry = tracking.ChunkCarry(
+        T=T, vel=T, has_vel=scalar_b, kp_pt=kp_pt, level=level,
+        frames_since_kf=scalar_i,
+        pt_visible=jax.ShapeDtypeStruct((P,), i32),
+        pt_found=jax.ShapeDtypeStruct((P,), i32))
+
     job("build_frame", lambda: build_frame.lower(img, cfg).compile())
     job("track_frame_built", lambda: tracking.track_frame_built.lower(
         cfg, m, frame, kp_pt, level, T, scalar_f).compile())
+    # both chunk shapes used by System.run_sequence (small after keyframes,
+    # large in steady state)
+    for C in {max(2, cfg.tracker.chunk_frames // 4),
+              cfg.tracker.chunk_frames}:
+        imgs_c = jax.ShapeDtypeStruct((C, H, W), jnp.uint8)
+        job(f"track_chunk{C}",
+            lambda imgs_c=imgs_c: tracking.track_chunk.lower(
+                cfg, m, imgs_c, True, carry).compile())
     if cfg.sensor == "mono":
         job("backend_insert", lambda: lm.backend_insert.lower(
-            cfg, m, frame, T, scalar_i, kp_pt, False, None).compile())
+            cfg, m, frame, T, scalar_i, kp_pt, False, None, vocab).compile())
     else:
         depth = jax.ShapeDtypeStruct((N,), f32)
         job("backend_insert_depth", lambda: lm.backend_insert.lower(
-            cfg, m, frame, T, scalar_i, kp_pt, True, depth).compile())
+            cfg, m, frame, T, scalar_i, kp_pt, True, depth, vocab).compile())
     if include_init:
         job("match_for_init", lambda: system_mod._match_for_init.lower(
             cfg, frame, frame).compile())
@@ -100,6 +119,15 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
                 valid).compile()
 
         job("init", _init_graphs)
+    # relocalization path (reference Tracking::Relocalization) — reachable
+    # from any tracking dropout; a cold compile mid-run stalls for minutes
+    def _reloc_graphs():
+        tracking.relocalize_against_kf.lower(
+            cfg, m, frame, scalar_i, key).compile()
+        tracking.track_local_map.lower(cfg, m, frame, T, kp_pt).compile()
+
+    job("reloc", _reloc_graphs)
+
     if include_loop:
         def _loop_graphs():
             from coslam_tpu.models import loop_closing as lc
@@ -109,6 +137,56 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
             lc.match_counts_subset.lower(cfg, m, scalar, cands).compile()
 
         job("loop_detect", _loop_graphs)
+
+        # Sim3 verification + loop correction + deferred global BA — the
+        # first loop closure of a run must not stall on compilation
+        def _loop_correct_graphs():
+            from coslam_tpu.models import loop_closing as lc
+            from coslam_tpu.models import map_state as ms_mod
+            idx2 = jax.ShapeDtypeStruct((N,), i32)
+            okN = jax.ShapeDtypeStruct((N,), jnp.bool_)
+            lc.sim3_between.lower(cfg, m, scalar_i, scalar_i, idx2,
+                                  idx2, idx2, okN, key).compile()
+            L = cfg.loop.max_loop_edges
+            prev = jax.ShapeDtypeStruct((L, 2), i32)
+            prev_v = jax.ShapeDtypeStruct((L,), jnp.bool_)
+            lc.correct_loop.lower(
+                cfg, m, scalar_i, scalar_i, scalar_f, T3x3(), vec3(),
+                idx2, idx2, okN, prev_loops=prev,
+                prev_loops_valid=prev_v).compile()
+            lc.global_ba.lower(cfg, m).compile()
+            lm.refresh_point_geometry.lower(cfg, m).compile()
+            jax.jit(ms_mod.covisibility).lower(m).compile()
+            jax.jit(ms_mod.covisibility_row).lower(m, scalar_i).compile()
+
+        def T3x3():
+            return jax.ShapeDtypeStruct((3, 3), f32)
+
+        def vec3():
+            return jax.ShapeDtypeStruct((3,), f32)
+
+        job("loop_correct", _loop_correct_graphs)
+
+        # online vocabulary retraining (keyframe_db.maybe_retrain)
+        def _vocab_graphs():
+            from coslam_tpu.ops import bow
+            K = cfg.mapper.max_keyframes
+            W_v = W_voc
+            desc_pool = jax.ShapeDtypeStruct((K * N, 8), jnp.uint32)
+            ok_pool = jax.ShapeDtypeStruct((K * N,), jnp.bool_)
+            bow.train_vocabulary_device.lower(
+                desc_pool, ok_pool, W_v, 6).compile()
+            kf_desc = jax.ShapeDtypeStruct((K, N, 8), jnp.uint32)
+            kf_ok = jax.ShapeDtypeStruct((K, N), jnp.bool_)
+            voc = jax.ShapeDtypeStruct((W_v, 8), jnp.uint32)
+            jax.jit(bow.bow_rows, static_argnums=(3,)).lower(
+                kf_desc, kf_ok, voc, W_v).compile()
+
+        job("vocab_retrain", _vocab_graphs)
+
+    # (compaction.compact is host-side numpy — nothing to compile; growth
+    # re-specializes shapes and is covered by the persistent compile cache
+    # on subsequent runs)
 
     handle = _Handle([])
 

@@ -26,8 +26,14 @@ CFG = SystemConfig(
 
 @pytest.mark.slow
 def test_loop_closure_full_circle():
+    # 1.25 laps: the revisit stretch must span several keyframes so the
+    # covisibility-consistency chain (reference LoopClosing.cc:43,
+    # mnCovisibilityConsistencyTh=3 CONSECUTIVE keyframes) can build — with
+    # the reference-faithful keyframe policy a single-frame seam inserts
+    # only one revisit keyframe and no chain can form (real sequences
+    # always re-traverse the loop region over many frames)
     scene = synthetic.make_cylinder_scene(700, seed=5)
-    traj = synthetic.make_loop_trajectory(90, seed=5)
+    traj = synthetic.make_loop_trajectory(115, seed=5, frac=1.25)
     seq = synthetic.render_sequence(CFG.camera, traj, scene)
     slam = System(CFG)
     for i, img in enumerate(seq):
@@ -36,7 +42,7 @@ def test_loop_closure_full_circle():
     assert slam.state == "OK"
     assert slam.n_loops_closed >= 1, "no loop closure detected"
     ids, poses = slam.trajectory_poses()
-    assert len(ids) > 80
+    assert len(ids) > 100
     est = evaluation.trajectory_xyz(poses)
     gt = evaluation.trajectory_xyz(traj.poses_cw[ids])
     ate = evaluation.ate_rmse(est, gt)
