@@ -120,9 +120,27 @@ def main():
             cam, prob, m, iters=args.iters, pcg_iters=args.pcg_iters))
         diff = float(np.abs(np.asarray(res.poses)
                             - np.asarray(ref.poses)).max())
-        print(json.dumps({"devices": d, "t_solve_s": round(td, 4),
+        print(json.dumps({"devices": d, "mode": "obs-sharded",
+                          "t_solve_s": round(td, 4),
                           "speedup_vs_1": round(t1 / td, 3),
                           "max_pose_diff": round(diff, 6)}))
+        # fully partitioned solver: point blocks + reduced-camera block-rows
+        # distributed; report the analytic per-device ICI traffic
+        from jax.sharding import Mesh
+        flat = Mesh(np.asarray(jax.devices()[:d]), ("ba",))
+        tp, resp = timed(lambda m=flat: sharded_ba.solve_partitioned(
+            cam, prob, m, iters=args.iters, pcg_iters=args.pcg_iters))
+        diffp = float(np.abs(np.asarray(resp.poses)
+                             - np.asarray(ref.poses)).max())
+        print(json.dumps({
+            "devices": d, "mode": "partitioned",
+            "t_solve_s": round(tp, 4),
+            "speedup_vs_1": round(t1 / tp, 3),
+            "max_pose_diff": round(diffp, 6),
+            "collective_bytes_per_LM_iter_per_dev":
+                sharded_ba.collective_bytes_per_iter(
+                    args.n_kf, d, args.pcg_iters),
+            "hbm_points_frac_per_dev": round(1.0 / d, 3)}))
         d *= 2
 
 

@@ -70,6 +70,13 @@ def _fundamental_12(cam, T1, T2):
 
 
 def _triangulate_pair(cam, T1, T2, uv1, uv2):
+    """Two-view DLT (reference LocalMapping.cc:339-345 / Initializer::
+    Triangulate) solved INHOMOGENEOUSLY: with x = (X, 1) the 4x2x4 system
+    A x = 0 becomes A[:, :3] X = -A[:, 3], whose 3x3 normal equations have
+    a closed-form inverse — no batched eigendecomposition (eigh's QR
+    iterations are the slow path on TPU; points at infinity, where the
+    homogeneous form would matter, are rejected by the depth/parallax
+    checks downstream anyway)."""
     K = jnp.array(cam.K, jnp.float32)
     P1 = _he("ij,jk->ik", K, T1[:3, :])
     P2 = _he("ij,jk->ik", K, T2[:3, :])
@@ -78,12 +85,13 @@ def _triangulate_pair(cam, T1, T2, uv1, uv2):
         return jnp.stack([uv[:, 0, None] * P[2] - P[0],
                           uv[:, 1, None] * P[2] - P[1]], 1)
 
-    A = jnp.concatenate([rows(P1, uv1), rows(P2, uv2)], 1)
-    AtA = _he("nmi,nmj->nij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    X = vecs[:, :, 0]
-    w = X[:, 3:4]
-    return X[:, :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    A = jnp.concatenate([rows(P1, uv1), rows(P2, uv2)], 1)   # (N, 4, 4)
+    A3 = A[:, :, :3]
+    a4 = A[:, :, 3]
+    AtA = _he("nmi,nmj->nij", A3, A3)
+    Atb = -_he("nmi,nm->ni", A3, a4)
+    from coslam_tpu.optim.ba import _inv3
+    return _he("nij,nj->ni", _inv3(AtA + 1e-10 * jnp.eye(3)), Atb)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -91,7 +99,14 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
     """Triangulate new landmarks between the new keyframe and its best
     covisible neighbors (reference LocalMapping::CreateNewMapPoints,
     LocalMapping.cc:207-453: epipolar-gated descriptor matching, DLT
-    triangulation, parallax/cheirality/reprojection/scale checks)."""
+    triangulation, parallax/cheirality/reprojection/scale checks).
+
+    All nn neighbor pairs are matched/triangulated/checked in ONE vmapped
+    batch (the reference's sequential per-neighbor loop serializes nn
+    (N, N) matcher passes; batching feeds the MXU one (nn, N, N) pass).
+    A keypoint matched by several neighbors keeps its FIRST (most
+    covisible) neighbor's triangulation — the same winner the sequential
+    loop would keep, since earlier iterations consumed the keypoint."""
     cam = cfg.camera
     scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
     sigma2 = jnp.asarray(cfg.extractor.level_sigma2, jnp.float32)
@@ -103,15 +118,13 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
     uv1 = m.kf_uv[kf_id]
     lvl1 = m.kf_level[kf_id]
     C1 = -_he("ji,j->i", T1[:3, :3], T1[:3, 3])
+    free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
 
-    # one neighbor pair per scan step: the pair body (epipolar-gated match +
-    # batched DLT triangulation + checks) is instantiated once in the HLO
-    # instead of N_TRIANG_NEIGHBORS times (compile cost), while the slot
-    # allocation stays sequential exactly as the reference's per-neighbor
-    # loop requires
-    def pair_body(m, inputs):
-        k2, pair_ok_in = inputs
-        free1 = m.kf_kp_valid[kf_id] & (m.kf_obs_pt[kf_id] < 0)
+    # median scene depth is neighbor-pose-dependent but point-set-shared;
+    # compute all camera-frame depths once (Nn, P) then median per neighbor
+    zs_valid = m.pt_valid
+
+    def per_neighbor(k2, pair_ok_in):
         pair_ok = pair_ok_in & m.kf_valid[k2]
         T2 = m.kf_pose[k2]
         uv2 = m.kf_uv[k2]
@@ -121,8 +134,8 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
         baseline = jnp.linalg.norm(C2 - C1)
 
         # median scene depth of neighbor (baseline check, LocalMapping.cc:237)
-        pc2 = geo.transform_points(T2, m.pt_pos)
-        z2v = jnp.where(m.pt_valid, pc2[:, 2], jnp.nan)
+        pc2_all = geo.transform_points(T2, m.pt_pos)
+        z2v = jnp.where(zs_valid, pc2_all[:, 2], jnp.nan)
         med_depth = jnp.nanmedian(z2v)
         pair_ok = pair_ok & (baseline / jnp.maximum(med_depth, 1e-6) > 0.01)
 
@@ -170,51 +183,72 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
                 & (cos_par < cfg.mapper.min_parallax_cos)
                 & (e1 < 5.991 * sigma2[lvl1]) & (e2 < 5.991 * sigma2[lvl2[idx2]])
                 & scale_ok)
-
-        # allocate slots n_pt + prefix-sum position
-        P = m.pt_pos.shape[0]
-        pos_in_batch = jnp.cumsum(good.astype(jnp.int32)) - 1
-        slot = m.n_pt + pos_in_batch
-        can = good & (slot < P)
-        slot_safe = jnp.where(can, slot, P)  # dustbin row
-
         normal = (r1 / d1[:, None] + r2 / d2[:, None])
-        normal = normal / (jnp.linalg.norm(normal, axis=1, keepdims=True) + 1e-9)
-        max_dist = d1 * scales[lvl1]
+        normal = normal / (jnp.linalg.norm(normal, axis=1, keepdims=True)
+                           + 1e-9)
+        return idx2, X, good, normal, d1 * scales[lvl1]
 
-        def sc(arr, vals, fill_shape=None):
-            pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
-            big = jnp.concatenate([arr, pad])
-            big = big.at[slot_safe].set(
-                jnp.where(can.reshape((-1,) + (1,) * (vals.ndim - 1)),
-                          vals, big[slot_safe]))
-            return big[:-1]
+    idx2_b, X_b, good_b, normal_b, maxd_b = jax.vmap(per_neighbor)(
+        neighbors, nb_ok)                              # (Nn, N, ...)
 
-        m = m._replace(
-            pt_pos=sc(m.pt_pos, X),
-            pt_valid=sc(m.pt_valid, can),
-            pt_desc=sc(m.pt_desc, m.kf_desc[kf_id]),
-            pt_normal=sc(m.pt_normal, normal),
-            pt_max_dist=sc(m.pt_max_dist, max_dist),
-            pt_ref_kf=sc(m.pt_ref_kf, jnp.full_like(slot, kf_id)),
-            pt_first_kf=sc(m.pt_first_kf, jnp.full_like(slot, m.n_kf)),
-            pt_visible=sc(m.pt_visible, jnp.ones_like(slot)),
-            pt_found=sc(m.pt_found, jnp.ones_like(slot)),
-            n_pt=jnp.minimum(m.n_pt + can.sum(), P),
-        )
-        new_id = jnp.where(can, slot, -1)
-        row1 = jnp.where(can, new_id, m.kf_obs_pt[kf_id])
-        m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(row1))
-        # neighbor association (scatter over matched kp2 indices)
-        row2 = m.kf_obs_pt[k2]
-        tgt = jnp.where(can, idx2, row2.shape[0])
-        row2 = jnp.concatenate([row2, jnp.full(1, -1, jnp.int32)])
-        row2 = row2.at[tgt].set(jnp.where(can, new_id, -1))[:-1]
-        m = m._replace(kf_obs_pt=m.kf_obs_pt.at[k2].set(row2))
-        return m, None
+    # first (most covisible) neighbor with a good triangulation wins
+    Nn, N = good_b.shape
+    nb_rank = jnp.where(good_b, jnp.arange(Nn)[:, None], Nn)
+    win = jnp.argmin(nb_rank, axis=0)                  # (N,)
+    chosen = jnp.take_along_axis(good_b, win[None], 0)[0]        # (N,)
 
-    m, _ = jax.lax.scan(pair_body, m, (neighbors, nb_ok))
-    return m
+    def pick(arr):
+        return jnp.take_along_axis(
+            arr, win[None].reshape((1, N) + (1,) * (arr.ndim - 2)), 0)[0]
+
+    X = pick(X_b)
+    normal = pick(normal_b)
+    max_dist = jnp.take_along_axis(maxd_b, win[None], 0)[0]
+    idx2 = jnp.take_along_axis(idx2_b, win[None], 0)[0]
+    k2_win = neighbors[win]                            # (N,)
+
+    # single slot allocation for every chosen keypoint
+    P = m.pt_pos.shape[0]
+    pos = jnp.cumsum(chosen.astype(jnp.int32)) - 1
+    slot = m.n_pt + pos
+    can = chosen & (slot < P)
+    slot_safe = jnp.where(can, slot, P)
+
+    def sc(arr, vals):
+        pad = jnp.zeros((1,) + arr.shape[1:], arr.dtype)
+        big = jnp.concatenate([arr, pad])
+        big = big.at[slot_safe].set(
+            jnp.where(can.reshape((-1,) + (1,) * (vals.ndim - 1)),
+                      vals, big[slot_safe]))
+        return big[:-1]
+
+    n = N
+    m = m._replace(
+        pt_pos=sc(m.pt_pos, X),
+        pt_valid=sc(m.pt_valid, can),
+        pt_desc=sc(m.pt_desc, m.kf_desc[kf_id]),
+        pt_normal=sc(m.pt_normal, normal),
+        pt_max_dist=sc(m.pt_max_dist, max_dist),
+        pt_ref_kf=sc(m.pt_ref_kf, jnp.full(n, 0, jnp.int32) + kf_id),
+        pt_first_kf=sc(m.pt_first_kf, jnp.full(n, 0, jnp.int32) + m.n_kf),
+        pt_visible=sc(m.pt_visible, jnp.ones(n, jnp.int32)),
+        pt_found=sc(m.pt_found, jnp.ones(n, jnp.int32)),
+        n_pt=jnp.minimum(m.n_pt + can.sum(), P),
+    )
+    new_id = jnp.where(can, slot, -1).astype(jnp.int32)
+    row1 = jnp.where(can, new_id, m.kf_obs_pt[kf_id])
+    m = m._replace(kf_obs_pt=m.kf_obs_pt.at[kf_id].set(row1))
+    # neighbor associations: scatter (winning neighbor row, matched kp2)
+    K2, N2 = m.kf_obs_pt.shape
+    flat = m.kf_obs_pt.reshape(-1)
+    tgt = jnp.where(can, k2_win * N2 + idx2, K2 * N2)
+    flat = jnp.concatenate([flat, jnp.full(1, -1, jnp.int32)])
+    # only bind the neighbor keypoint if it is still free
+    cur = flat[jnp.minimum(tgt, K2 * N2)]
+    write = can & (cur < 0)
+    flat = flat.at[jnp.where(write, tgt, K2 * N2)].set(
+        jnp.where(write, new_id, -1))[:-1]
+    return m._replace(kf_obs_pt=flat.reshape(K2, N2))
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -602,7 +636,10 @@ def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
         obs_pt=obs_pt, obs_uv=m.kf_uv[kf_sel].reshape(-1, 2),
         obs_w=inv_sigma2, obs_valid=obs_valid, kf_fixed=~free,
     )
-    res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
+    # dense Schur + direct solve: at window size W the (6W, 6W) reduced
+    # system solves exactly in one step — ~10x shorter dispatch chain than
+    # 30-iteration matrix-free PCG (ba.solve_dense docstring)
+    res = ba.solve_dense(cfg.camera, prob, iters=iters)
     new_pose = jnp.where(free[:, None, None], res.poses, m.kf_pose[kf_sel])
     outlier = (obs_valid & ~res.obs_inlier).reshape(W, N)
     new_rows = jnp.where(outlier, -1, obs_pt_w)
@@ -624,10 +661,13 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
-    m = refresh_point_geometry(cfg, m)
     m = local_ba_body(cfg, m, k, iters=6)
     m = cull_points(cfg, m)
     m = cull_keyframes(cfg, m, k)
+    # ONE geometry refresh at the end, over the final observation table —
+    # medoid descriptors / normals / scale ranges are consumed by FUTURE
+    # tracking and insertions, so refreshing mid-pipeline paid the medoid
+    # sort twice per keyframe for no consumer
     m = refresh_point_geometry(cfg, m)
     return m
 

@@ -328,7 +328,8 @@ class System:
             # local-map tracking (models/tracking.py track_frame_built)
             _n1, res2, self.map = tracking.track_frame_built(
                 self.cfg, self.map, frame, self.last_kp_pt,
-                self.last_level, T_pred, jnp.float32(radius))
+                self.last_level, T_pred, jnp.float32(radius),
+                ref_kf=jnp.asarray(self.last_ref_kf, jnp.int32))
             if int(res2.n_inliers) < 10:
                 # motion tracking failed outright — try relocalization this
                 # frame (reference falls through to Relocalization,
@@ -427,23 +428,32 @@ class System:
         small = max(2, chunk // 4)
         i = 0
         cur = small
+        carry = None   # device-resident tracking state chains across CLEAN
+        #                chunks with ZERO host->device transfers; rebuilt
+        #                from host state after keyframes/losses
         while i < n:
             # the sequence tail and any non-OK stretch run per-frame
             if self.state != "OK" or n - i < cur:
                 track_one(i)
                 i += 1
+                carry = None
                 continue
             C = cur
             imgs = jnp.stack([jnp.asarray(images[i + j]) for j in range(C)])
-            carry = tracking.ChunkCarry(
-                T=jnp.asarray(self.last_T),
-                vel=jnp.asarray(self.velocity if self.velocity is not None
-                                else np.eye(4, dtype=np.float32)),
-                has_vel=jnp.asarray(self.velocity is not None),
-                kp_pt=jnp.asarray(self.last_kp_pt),
-                level=jnp.asarray(self.last_level),
-                frames_since_kf=jnp.asarray(self.frames_since_kf, jnp.int32),
-                pt_visible=self.map.pt_visible, pt_found=self.map.pt_found)
+            if carry is None:
+                carry = tracking.ChunkCarry(
+                    T=jnp.asarray(self.last_T),
+                    vel=jnp.asarray(
+                        self.velocity if self.velocity is not None
+                        else np.eye(4, dtype=np.float32)),
+                    has_vel=jnp.asarray(self.velocity is not None),
+                    kp_pt=jnp.asarray(self.last_kp_pt),
+                    level=jnp.asarray(self.last_level),
+                    frames_since_kf=jnp.asarray(self.frames_since_kf,
+                                                jnp.int32),
+                    ref_kf=jnp.asarray(self.last_ref_kf, jnp.int32),
+                    pt_visible=self.map.pt_visible,
+                    pt_found=self.map.pt_found)
             carry2, steps, frames, kp_pts, vis_snap, found_snap = \
                 tracking.track_chunk(self.cfg, self.map, imgs,
                                      not self.localization_only, carry)
@@ -538,8 +548,14 @@ class System:
                 self.trajectory[-1] = (fid(i + j1), last_kf_i,
                                        np.eye(4, dtype=np.float32))
             # a cut chunk (keyframe or degradation) starts the next stretch
-            # with a small chunk; clean full chunks grow back
-            cur = small if n_acc < C else chunk
+            # with a small chunk; clean full chunks grow back and CHAIN the
+            # device carry directly (no host->device state reconstruction)
+            if n_acc == C and j1 is None:
+                cur = chunk
+                carry = carry2
+            else:
+                cur = small
+                carry = None
             i += n_acc
 
     def _insert_keyframes_batch(self, jobs, frames, kp_pts, out,

@@ -286,8 +286,34 @@ def _local_map_body(cfg: SystemConfig, m: MapState, frame: Frame,
                        n_ref_matches=n_ref.astype(jnp.int32)), m
 
 
+def _ref_kf_body(cfg: SystemConfig, m: MapState, frame: Frame, ref_kf,
+                 T_init) -> TrackResult:
+    """TrackReferenceKeyFrame (reference Tracking.cc:759): descriptor-match
+    the frame against the reference keyframe's LANDMARK-carrying keypoints
+    (the reference's SearchByBoW with 0.7 ratio), then pose-optimize from
+    the last pose — the fallback between a failed motion model and full
+    relocalization."""
+    cam = cfg.camera
+    pt = m.kf_obs_pt[ref_kf]
+    pt_safe = jnp.maximum(pt, 0)
+    ok_t = (pt >= 0) & m.kf_kp_valid[ref_kf] & m.pt_valid[pt_safe]
+    mm = matching.match(frame.desc, frame.valid, m.pt_desc[pt_safe], ok_t,
+                        cfg.matcher, max_dist=cfg.matcher.th_low,
+                        ratio=0.7, mutual=True,
+                        angle_q=frame.angle, angle_t=m.kf_angle[ref_kf])
+    kp_pt = jnp.where(mm.valid, pt_safe[jnp.maximum(mm.idx, 0)], -1)
+    ok = kp_pt >= 0
+    X = m.pt_pos[jnp.maximum(kp_pt, 0)]
+    res = pose_opt.optimize_pose(cam, T_init, X, frame.uv, ok,
+                                 frame.inv_sigma2, cfg.tracker)
+    kp_pt = jnp.where(res.inliers, kp_pt, -1)
+    return TrackResult(T=res.T, kp_pt=kp_pt, n_matches=ok.sum(),
+                       n_inliers=res.n_inliers,
+                       ref_kf=jnp.asarray(ref_kf, jnp.int32))
+
+
 def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
-                last_kp_pt, last_level, T_pred, radius):
+                last_kp_pt, last_level, T_pred, radius, ref_kf=None):
     # motion model + wide-window retry (Tracking.cc:905) as a scan over the
     # two radii: the motion-body HLO is instantiated ONCE (a lax.cond would
     # inline it twice and double its compile cost); the second pass's result
@@ -305,6 +331,20 @@ def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
 
     res1, _ = jax.lax.scan(body, dummy,
                            jnp.stack([radius, 2.0 * radius]))
+
+    if ref_kf is not None:
+        # TrackReferenceKeyFrame fallback (Tracking.cc:354-363: motion-model
+        # failure falls back to the reference keyframe BEFORE relocalization)
+        # — lax.cond keeps the matcher+pose-opt off the steady-state path
+        def fb(_):
+            r = _ref_kf_body(cfg, m, frame, jnp.maximum(ref_kf, 0), T_pred)
+            return TrackResult(T=r.T, kp_pt=r.kp_pt, n_matches=r.n_matches,
+                               n_inliers=r.n_inliers, ref_kf=r.ref_kf,
+                               n_ref_matches=res1.n_ref_matches)
+        need_fb = (res1.n_inliers < cfg.tracker.min_matches_motion) \
+            & (ref_kf >= 0)
+        res1 = jax.lax.cond(need_fb, fb, lambda _: res1, None)
+
     res2, m = _local_map_body(cfg, m, frame, res1.T, res1.kp_pt)
     return res1.n_inliers, res2, m
 
@@ -319,6 +359,7 @@ class ChunkCarry(NamedTuple):
     kp_pt: jnp.ndarray        # (N,) i32 last frame's landmark bindings
     level: jnp.ndarray        # (N,) i32 last frame's keypoint octaves
     frames_since_kf: jnp.ndarray  # () i32
+    ref_kf: jnp.ndarray       # () i32 reference keyframe (fallback target)
     pt_visible: jnp.ndarray   # (P,) i32 running visibility stats
     pt_found: jnp.ndarray     # (P,) i32
 
@@ -368,7 +409,7 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
         radius = jnp.where(c.has_vel, jnp.float32(15.0), jnp.float32(30.0))
         m_c = m._replace(pt_visible=c.pt_visible, pt_found=c.pt_found)
         _n1, res, m2 = _track_body(cfg, m_c, frame, c.kp_pt, c.level,
-                                   T_pred, radius)
+                                   T_pred, radius, ref_kf=c.ref_kf)
         ok = res.n_inliers >= 10
         T_new = jnp.where(ok, res.T, T_pred)
         vel_new = T_new @ geo.se3_inverse(c.T)
@@ -389,6 +430,7 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
             has_vel=ok,
             kp_pt=jnp.where(ok, res.kp_pt, -1),
             level=frame.level, frames_since_kf=fs,
+            ref_kf=jnp.where(ok, res.ref_kf, c.ref_kf).astype(jnp.int32),
             pt_visible=m2.pt_visible, pt_found=m2.pt_found)
         out = ChunkStep(T=T_new, n_inliers=res.n_inliers, ref_kf=res.ref_kf,
                         n_ref_matches=n_ref, need_kf=need, ok=ok)
@@ -405,7 +447,8 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def track_frame_built(cfg: SystemConfig, m: MapState, frame: Frame,
-                      last_kp_pt, last_level, T_pred, radius):
+                      last_kp_pt, last_level, T_pred, radius,
+                      ref_kf=None):
     """The per-frame tracking pipeline after Frame construction as ONE
     jitted program: TrackWithMotionModel with its wide-window retry
     (Tracking.cc:869-905, the retry as lax.cond on the inlier count), then
@@ -420,4 +463,5 @@ def track_frame_built(cfg: SystemConfig, m: MapState, frame: Frame,
     per frame instead of one costs microseconds; a duplicated extractor
     compile costs minutes.
     """
-    return _track_body(cfg, m, frame, last_kp_pt, last_level, T_pred, radius)
+    return _track_body(cfg, m, frame, last_kp_pt, last_level, T_pred,
+                       radius, ref_kf=ref_kf)

@@ -115,6 +115,14 @@ def _inv3(M):
     return inv / det[..., None, None]
 
 
+def _block_diag_dense(blocks):
+    """(K, B, B) diagonal blocks -> (K*B, K*B) dense block-diagonal."""
+    K, B, _ = blocks.shape
+    out = jnp.zeros((K, B, K, B), blocks.dtype)
+    out = out.at[jnp.arange(K), :, jnp.arange(K), :].set(blocks)
+    return out.reshape(K * B, K * B)
+
+
 def _seg_sum(x, idx, n, axis_name=None):
     """Segment sum; with `axis_name` the local partial sums are all-reduced
     over the mesh axis — the one-line change that makes the whole solver
@@ -132,6 +140,102 @@ def solve(cam: CameraConfig, prob: BAProblem, iters: int = 10,
     """Run `iters` LM steps.  Shapes are static; cost of one step is
     O(observations) + PCG matvecs."""
     return solve_body(cam, prob, iters, pcg_iters, chi2_th, robust, None)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def solve_dense(cam: CameraConfig, prob: BAProblem, iters: int = 10,
+                chi2_th: float = 5.991, robust: bool = True) -> BAResult:
+    """LM with the reduced camera system MATERIALIZED and solved directly.
+
+    For the problem-shaped windowed local BA (K <= ~32 free cameras) the
+    matrix-free PCG solver pays ~30 sequential matvec iterations per LM
+    step — dispatch-chain latency, not FLOPs, dominates on TPU.  Here the
+    (6K, 6K) Schur complement S = Hcc - Y Hpp^-1 Y^T is assembled as ONE
+    batched scatter + ONE MXU matmul over the dense (6K, 3P) off-diagonal
+    block, then solved exactly by LU — an exact Newton step per LM
+    iteration (better conditioned than truncated PCG) with a ~10x shorter
+    dependency chain.  Memory: K*P*18 floats for Y (24 x 8192 -> 14 MB);
+    use `solve` (matrix-free) when K*P is large.
+
+    Replaces g2o's BlockSolver_6_3 + LinearSolverEigen direct solve
+    (reference Optimizer.cc:56-62) more literally than the PCG path does.
+    """
+    K = prob.poses.shape[0]
+    P = prob.points.shape[0]
+    delta2 = chi2_th
+    free = ~prob.kf_fixed
+
+    def total_cost(poses, points, rob):
+        r, _, _, behind = _proj_residuals(cam, poses, points, prob)
+        chi2 = jnp.sum(r * r, 1) * prob.obs_w
+        ok = prob.obs_valid & ~behind
+        return jnp.where(ok, _robust_cost(chi2, delta2, rob), 0.0).sum()
+
+    def lm_step(carry, _):
+        poses, points, lam = carry
+        r, Jc, Jp, behind = _proj_residuals(cam, poses, points, prob)
+        chi2 = jnp.sum(r * r, 1) * prob.obs_w
+        ok = prob.obs_valid & ~behind
+        w = jnp.where(ok, prob.obs_w * _robust_weight(chi2, delta2, robust),
+                      0.0)
+        Jcw = Jc * w[:, None, None]
+        Jpw = Jp * w[:, None, None]
+
+        Hcc = _seg_sum(_he("oij,oik->ojk", Jcw, Jc), prob.obs_kf, K)
+        Hpp = _seg_sum(_he("oij,oik->ojk", Jpw, Jp), prob.obs_pt, P)
+        bc = _seg_sum(_he("oij,oi->oj", Jcw, r), prob.obs_kf, K)
+        bp = _seg_sum(_he("oij,oi->oj", Jpw, r), prob.obs_pt, P)
+
+        lamc = lam * jnp.maximum(jnp.diagonal(Hcc, axis1=1, axis2=2), 1e-6)
+        lamp = lam * jnp.maximum(jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6)
+        Hpp_inv = _inv3(Hpp + jax.vmap(jnp.diag)(lamp))
+
+        # dense camera-point block Y: (K, P, 6, 3) via one scatter-add
+        Yblk = jnp.zeros((K, P, 6, 3), jnp.float32).at[
+            prob.obs_kf, prob.obs_pt].add(_he("oij,oik->ojk", Jcw, Jp))
+        # S = Hcc + lam - Y Hpp^-1 Y^T: flatten to a (6K, 3P) x (3P, 6K)
+        # MXU matmul (the blocked einsum's tiny 6x3 contractions do not
+        # tile onto the systolic array)
+        YH = _he("kpij,pjl->kpil", Yblk, Hpp_inv)          # (K, P, 6, 3)
+        Yr = Yblk.transpose(0, 2, 1, 3).reshape(6 * K, 3 * P)
+        YHr = YH.transpose(0, 2, 1, 3).reshape(6 * K, 3 * P)
+        Sd = -_he("ij,kj->ik", YHr, Yr)                    # (6K, 6K)
+        Hcc_d = Hcc + jax.vmap(jnp.diag)(lamc)             # (K, 6, 6)
+        Sd = Sd + _block_diag_dense(Hcc_d)
+        # reduced gradient g = -bc + Y Hpp^-1 bp
+        g = -bc + _he("kpij,pj->ki", YH, bp)
+        # gauge: zero rows/cols of fixed cameras, identity on their diagonal
+        free6 = jnp.repeat(free, 6)
+        Sd = jnp.where(free6[:, None] & free6[None, :], Sd,
+                       jnp.eye(6 * K) * 1.0)
+        gd = jnp.where(free6, g.reshape(-1), 0.0)
+        dc = jax.scipy.linalg.solve(
+            Sd + 1e-8 * jnp.eye(6 * K), gd, assume_a="pos").reshape(K, 6)
+        dc = jnp.where(free[:, None], dc, 0.0)
+
+        # back-substitute: dp = Hpp^-1 (-bp - Y^T dc)
+        Ytdc = _he("kpij,ki->pj", Yblk, dc)
+        dp = _he("pij,pj->pi", Hpp_inv, -bp - Ytdc)
+
+        poses_new = jax.vmap(lambda d, T: geo.exp_se3(d) @ T)(dc, poses)
+        points_new = points + dp
+        cost_old = total_cost(poses, points, robust)
+        cost_new = total_cost(poses_new, points_new, robust)
+        accept = cost_new < cost_old
+        poses = jnp.where(accept, poses_new, poses)
+        points = jnp.where(accept, points_new, points)
+        lam = jnp.clip(jnp.where(accept, lam * 0.4, lam * 5.0), 1e-8, 1e4)
+        return (poses, points, lam), cost_new
+
+    (poses, points, _), _ = jax.lax.scan(
+        lm_step, (prob.poses, prob.points, jnp.float32(1e-4)), None,
+        length=iters)
+    r, _, _, behind = _proj_residuals(cam, poses, points, prob)
+    chi2 = jnp.sum(r * r, 1) * prob.obs_w
+    inlier = prob.obs_valid & ~behind & (chi2 < chi2_th)
+    return BAResult(poses=geo.project_se3(poses), points=points,
+                    obs_inlier=inlier,
+                    cost=total_cost(poses, points, robust))
 
 
 def solve_body(cam: CameraConfig, prob: BAProblem, iters: int,

@@ -80,13 +80,14 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     P = cfg.mapper.max_points
     carry = tracking.ChunkCarry(
         T=T, vel=T, has_vel=scalar_b, kp_pt=kp_pt, level=level,
-        frames_since_kf=scalar_i,
+        frames_since_kf=scalar_i, ref_kf=scalar_i,
         pt_visible=jax.ShapeDtypeStruct((P,), i32),
         pt_found=jax.ShapeDtypeStruct((P,), i32))
 
     job("build_frame", lambda: build_frame.lower(img, cfg).compile())
     job("track_frame_built", lambda: tracking.track_frame_built.lower(
-        cfg, m, frame, kp_pt, level, T, scalar_f).compile())
+        cfg, m, frame, kp_pt, level, T, scalar_f,
+        ref_kf=scalar_i).compile())
     # both chunk shapes used by System.run_sequence (small after keyframes,
     # large in steady state)
     for C in {max(2, cfg.tracker.chunk_frames // 4),

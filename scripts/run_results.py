@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Run the dataset CLI end-to-end on every (proxy) dataset and write
+RESULTS.md.
+
+The sandbox has no network egress, so the TUM/EuRoC/KITTI sequences named
+in BASELINE.md are stood in for by PROXY datasets in the exact same on-disk
+layouts (scripts/make_proxy_datasets.py) — the full real-dataset path
+(image files, timestamp association, ground-truth parsing, CLI driver,
+trajectory export, ATE evaluation) is exercised; only the pixels are
+rendered instead of captured.  With network access, run
+scripts/fetch_datasets.sh and point the same commands at the real roots.
+
+Usage:  python scripts/run_results.py [--datasets DIR] [--out RESULTS.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = [
+    dict(name="TUM-layout mono (proxy for fr1_xyz)",
+         mode="mono", dataset="tum", root="tum_proxy",
+         bound_cm=5.0, baseline="ORB-SLAM2 fr1_xyz ~0.9 cm (real data)"),
+    dict(name="TUM-layout RGB-D (proxy for fr1_desk)",
+         mode="rgbd", dataset="tum", root="tum_proxy",
+         bound_cm=5.0, baseline="ORB-SLAM2 fr1_desk ~1.6 cm (real data)"),
+    dict(name="EuRoC-layout mono (proxy for MH01)",
+         mode="mono", dataset="euroc", root="euroc_proxy",
+         bound_cm=6.0, baseline="ORB-SLAM2 MH01 ~3-4 cm (real data)"),
+    dict(name="KITTI-layout stereo (proxy for seq 00)",
+         mode="stereo", dataset="kitti", root="kitti_proxy",
+         bound_cm=200.0, baseline="ORB-SLAM2 KITTI 00 ~1.3 m (real data)"),
+]
+
+
+def run_one(spec, datasets_dir, out_dir):
+    root = os.path.join(datasets_dir, spec["root"])
+    traj = os.path.join(out_dir, f"traj_{spec['mode']}_{spec['dataset']}.txt")
+    cmd = [sys.executable, "-m", "coslam_tpu.cli", spec["mode"],
+           "--dataset", spec["dataset"], "--root", root, "--out", traj]
+    if spec["dataset"] == "kitti":
+        cmd += ["--seq", "00"]
+    t0 = time.time()
+    p = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
+                       timeout=3600)
+    wall = time.time() - t0
+    res = dict(spec=spec, cmd=" ".join(cmd), wall_s=round(wall, 1),
+               rc=p.returncode, traj=traj)
+    for line in p.stdout.splitlines():
+        if line.startswith("ATE RMSE:"):
+            res["ate_cm"] = float(line.split(":")[1].split("cm")[0])
+        if line.startswith("frames tracked:"):
+            res["tracked"] = line.strip()
+    if p.returncode != 0:
+        res["stderr_tail"] = p.stderr[-2000:]
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", default=os.path.join(ROOT, "datasets"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "RESULTS.md"))
+    ap.add_argument("--results-dir", default=os.path.join(ROOT, "results"))
+    args = ap.parse_args()
+    os.makedirs(args.results_dir, exist_ok=True)
+
+    if not os.path.isdir(os.path.join(args.datasets, "tum_proxy")):
+        print("generating proxy datasets first...")
+        subprocess.run([sys.executable, "scripts/make_proxy_datasets.py",
+                        "--out", args.datasets], cwd=ROOT, check=True)
+
+    results = []
+    for spec in RUNS:
+        print(f"== {spec['name']}", flush=True)
+        r = run_one(spec, args.datasets, args.results_dir)
+        print(json.dumps({k: v for k, v in r.items() if k != "spec"}),
+              flush=True)
+        results.append(r)
+
+    lines = [
+        "# RESULTS — dataset-path validation\n",
+        "**Provenance.** This build environment has **no network egress**, "
+        "so the real TUM/EuRoC/KITTI sequences named in BASELINE.md cannot "
+        "be downloaded here.  Every run below uses a **PROXY dataset**: a "
+        "rendered synthetic sequence written into the exact on-disk layout "
+        "of the corresponding real dataset "
+        "(`scripts/make_proxy_datasets.py`), driven through the SAME "
+        "loaders, CLI, trajectory export and evaluation as real data "
+        "(`coslam_tpu/utils/io.py`, `coslam_tpu/cli.py`).  The proxy "
+        "validates the entire dataset path end-to-end; it does NOT "
+        "validate real-imagery photometrics.  With network access, run "
+        "`scripts/fetch_datasets.sh` and re-issue the identical commands "
+        "on the real roots.\n",
+        "| Run | ATE RMSE | bound (proxy) | real-data reference point | "
+        "frames | wall |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        s = r["spec"]
+        ate = f"{r.get('ate_cm', float('nan')):.2f} cm" \
+            if "ate_cm" in r else f"FAILED (rc={r['rc']})"
+        lines.append(
+            f"| {s['name']} | {ate} | < {s['bound_cm']:.0f} cm | "
+            f"{s['baseline']} | {r.get('tracked', '—')} | {r['wall_s']}s |")
+    lines.append("\nCommands (re-runnable):\n")
+    for r in results:
+        lines.append(f"    {r['cmd']}")
+    lines.append("\nExported trajectories: `results/traj_*.txt` "
+                 "(TUM format).\n")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {args.out}")
+    bad = [r for r in results
+           if r["rc"] != 0 or r.get("ate_cm", 1e9) > r["spec"]["bound_cm"]]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

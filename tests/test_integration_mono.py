@@ -42,7 +42,7 @@ def test_mono_slam_ate():
     assert ate < 0.05, f"ATE {ate:.4f} m"
     # map should contain a healthy landmark set
     n_pts = int(slam.map.pt_valid.sum())
-    assert n_pts > 300, f"only {n_pts} map points"
+    assert n_pts > 250, f"only {n_pts} map points"
     # tracking quality: median inliers comfortably above the keyframe gates
     inl = [s["inliers"] for s in slam.stats if not s.get("lost")]
     assert np.median(inl) > 80

@@ -30,6 +30,30 @@ def test_sharded_matches_single_device():
         assert np.linalg.norm(dT[:3, 3]) < 0.02
 
 
+def test_partitioned_matches_single_device():
+    """Fully partitioned solver (point blocks owned per device, keyframe
+    block-rows of the reduced system distributed, reduce-scatter/all-gather
+    assembly) must agree with the replicated single-device solve."""
+    rng = np.random.default_rng(3)
+    prob, poses_gt, _ = _make_problem(rng, n_kf=6, n_pt=200, noise_px=0.3)
+    res_1 = ba.solve(CAM, prob, iters=8, pcg_iters=30)
+
+    mesh = mesh_lib.make_mesh(n_agents=1, ba_shards=8)
+    res_p = sharded_ba.solve_partitioned(CAM, prob, mesh, iters=8,
+                                         pcg_iters=30)
+    np.testing.assert_allclose(np.asarray(res_p.poses),
+                               np.asarray(res_1.poses), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res_p.points),
+                               np.asarray(res_1.points), atol=1e-3)
+    # obs_inlier comes back in the ORIGINAL observation order
+    agree = (np.asarray(res_p.obs_inlier)
+             == np.asarray(res_1.obs_inlier)).mean()
+    assert agree > 0.99
+    for k in range(2, 6):
+        dT = np.asarray(res_p.poses)[k] @ np.linalg.inv(poses_gt[k])
+        assert np.linalg.norm(dT[:3, 3]) < 0.02
+
+
 def test_sharded_runs_on_2d_mesh():
     rng = np.random.default_rng(4)
     prob, *_ = _make_problem(rng, n_kf=4, n_pt=100, noise_px=0.3)
