@@ -60,6 +60,27 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+
+def _set_matmul_precision():
+    """Default every matmul to f32-HIGHEST.
+
+    SLAM geometry mixes pixel-scale (~1e3) and normalized (~1e-3) values; a
+    bf16 default (TPU's) turns un-annotated `a @ b` epipolar/reprojection
+    algebra into multi-pixel error — measured: the two-view initializer's
+    cheirality check loses ~half its inliers on TPU vs CPU, permanently
+    blocking EuRoC-geometry initialization.  Bandwidth-bound integer work
+    (packed Hamming, binary k-means) is exact in bf16 and opts back in
+    explicitly with precision='default' / preferred_element_type."""
+    try:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", "highest")
+    except Exception:
+        pass
+
+
+_set_matmul_precision()
+
 from coslam_tpu.config import (  # noqa: F401
     CameraConfig,
     ExtractorConfig,

@@ -402,6 +402,8 @@ def _dispatch(args, p):
     else:
         seq = cio.load_euroc(args.root)
         cfg = cfg_mod.euroc_config()
+    if getattr(seq, "camera", None) is not None:
+        cfg = cfg.replace(camera=seq.camera)  # dataset-provided calibration
     cfg = cfg.replace(sensor=args.mode)
 
     _warmup(cfg, args, timer)

@@ -176,6 +176,12 @@ class CoopAgent(System):
             self.agent_id
         return kf_i
 
+    def _note_inserted_keyframes(self, first_kf: int, count: int):
+        # chunked-driver insertions bypass _insert_keyframe — tag here
+        self.kf_agent[first_kf: first_kf + count] = self.agent_id
+        self.pt_agent[np.asarray(self.map.pt_valid) & (self.pt_agent < 0)] \
+            = self.agent_id
+
     def _try_initialize(self, frame, frame_id):
         super()._try_initialize(frame, frame_id)
         if self.state == "OK":

@@ -661,7 +661,7 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
-    m = local_ba_body(cfg, m, k, iters=6)
+    m = local_ba_body(cfg, m, k, iters=4)
     m = cull_points(cfg, m)
     m = cull_keyframes(cfg, m, k)
     # ONE geometry refresh at the end, over the final observation table —

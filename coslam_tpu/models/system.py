@@ -599,6 +599,7 @@ class System:
             kf_i = self._host_n_kf      # exact mirror of m.n_kf
             self._host_n_kf += 1
             pend.append((kf_i, aux))
+        self._note_inserted_keyframes(pend[0][0], len(pend))
         get = jax.device_get([(a["bow_row"], a["n_pt"], a["covis_row"],
                                a["pose"]) for _, a in pend])  # ONE transfer
         for (kf_i, _), (bow_row, *_rest) in zip(pend, get):
@@ -627,6 +628,9 @@ class System:
                 self._kf_pose_dirty = True
         self.map = m
         return pend[-1][0]
+
+    def _note_inserted_keyframes(self, first_kf: int, count: int):
+        """Hook for subclasses (CoopAgent tags keyframe/point ownership)."""
 
     def _depth_for(self, frame_j, images, depths, right_images, idx):
         """Per-keypoint depth for a keyframe chosen inside a chunk (RGB-D

@@ -104,7 +104,9 @@ def train_vocabulary_device(desc: jnp.ndarray, valid: jnp.ndarray,
     def body(_, centers):
         cb = centers.astype(jnp.bfloat16)
         d = ((bits.astype(jnp.float32) ** 2).sum(1, keepdims=True)
-             - 2.0 * (bits @ cb.T).astype(jnp.float32)
+             - 2.0 * jnp.matmul(
+                 bits, cb.T,
+                 precision=jax.lax.Precision.DEFAULT).astype(jnp.float32)
              + (centers ** 2).sum(1)[None])                    # (n, W)
         d = jnp.where(valid[:, None], d, jnp.inf)
         assign = jnp.argmin(d, axis=1)

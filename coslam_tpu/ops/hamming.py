@@ -58,5 +58,8 @@ def pairwise_hamming_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarra
     a = unpack_pm1(desc_a)
     b = unpack_pm1(desc_b)
     dot = jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)  # +/-1 products are exact in
+    #                                           bf16; opt out of the global
+    #                                           f32-HIGHEST default (6x)
     return ((256.0 - dot) * 0.5).astype(jnp.int32)

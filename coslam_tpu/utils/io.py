@@ -33,6 +33,10 @@ class Sequence:
     gt_timestamps: Optional[np.ndarray] = None
     gt_poses_wc: Optional[np.ndarray] = None  # (F, 4, 4) camera-to-world
     depth_factor: float = 1.0
+    # calibration read from the dataset itself (EuRoC sensor.yaml); None
+    # means "use the preset config" (the reference reads calibration from
+    # its settings YAML the same way, Tracking.cc:60-104)
+    camera: Optional["object"] = None
 
 
 def load_image(path: str) -> np.ndarray:
@@ -134,9 +138,39 @@ def load_kitti(root: str, sequence: str = "00") -> Sequence:
 # EuRoC MAV
 # ---------------------------------------------------------------------------
 
+def _parse_euroc_sensor_yaml(path: str):
+    """Parse the flat fields of EuRoC's mav0/cam0/sensor.yaml (intrinsics
+    [fu fv cu cv], distortion_coefficients [k1 k2 p1 p2], resolution) into
+    a CameraConfig.  Hand-rolled: the file is simple flow-style YAML and
+    this avoids a parser dependency."""
+    import re
+
+    from coslam_tpu.config import CameraConfig
+
+    txt = open(path).read()
+
+    def vec(name):
+        mm = re.search(name + r":\s*\[([^\]]*)\]", txt)
+        return [float(x) for x in mm.group(1).split(",")] if mm else None
+
+    intr = vec("intrinsics")
+    dist = vec("distortion_coefficients")
+    resol = vec("resolution")
+    rate = re.search(r"rate_hz:\s*([0-9.]+)", txt)
+    if not intr or not resol:
+        return None
+    k1, k2, p1, p2 = (dist + [0.0] * 4)[:4] if dist else (0.0,) * 4
+    return CameraConfig(
+        fx=intr[0], fy=intr[1], cx=intr[2], cy=intr[3],
+        k1=k1, k2=k2, p1=p1, p2=p2,
+        width=int(resol[0]), height=int(resol[1]),
+        fps=float(rate.group(1)) if rate else 20.0)
+
+
 def load_euroc(root: str) -> Sequence:
     """EuRoC layout: mav0/cam0/data/<ns>.png + data.csv;
-    mav0/state_groundtruth_estimate0/data.csv."""
+    mav0/state_groundtruth_estimate0/data.csv.  Calibration is read from
+    mav0/cam0/sensor.yaml when present (the dataset's own convention)."""
     cam_dir = os.path.join(root, "mav0", "cam0")
     right_dir = os.path.join(root, "mav0", "cam1", "data")
     has_right = os.path.isdir(right_dir)
@@ -170,7 +204,11 @@ def load_euroc(root: str) -> Sequence:
         gt_poses = np.tile(np.eye(4, dtype=np.float32), (len(rows), 1, 1))
         gt_poses[:, :3, :3] = R
         gt_poses[:, :3, 3] = arr[:, 1:4]
-    return Sequence(frames=frames, gt_timestamps=gt_ts, gt_poses_wc=gt_poses)
+    yaml_path = os.path.join(cam_dir, "sensor.yaml")
+    camera = _parse_euroc_sensor_yaml(yaml_path) \
+        if os.path.exists(yaml_path) else None
+    return Sequence(frames=frames, gt_timestamps=gt_ts, gt_poses_wc=gt_poses,
+                    camera=camera)
 
 
 # ---------------------------------------------------------------------------

@@ -130,17 +130,59 @@ def make_trajectory(n_frames: int = 60, kind: str = "arc",
     return Trajectory(poses_cw=np.stack(poses).astype(np.float32))
 
 
-def _project_np(cam: CameraConfig, Tcw: np.ndarray, pts: np.ndarray):
+def _project_np(cam: CameraConfig, Tcw: np.ndarray, pts: np.ndarray,
+                distort: bool = False):
+    """Project world points; with `distort` the camera's radial-tangential
+    model is applied FORWARD (rendering the image a real distorted lens
+    would produce, so the loader-side undistortion is exercised for real —
+    proxy datasets for cameras like EuRoC's strong-barrel lens need this)."""
     pc = pts @ Tcw[:3, :3].T + Tcw[:3, 3]
     z = pc[:, 2]
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = pc[:, 0] / z * cam.fx + cam.cx
-        v = pc[:, 1] / z * cam.fy + cam.cy
+        xn = pc[:, 0] / z
+        yn = pc[:, 1] / z
+        if distort and cam.has_distortion:
+            xd, yd = _distort_np(cam, xn, yn)
+            xn, yn = xd, yd
+        u = xn * cam.fx + cam.cx
+        v = yn * cam.fy + cam.cy
     return np.stack([u, v], axis=1), z
 
 
+def _distort_np(cam: CameraConfig, xn, yn):
+    r2 = xn * xn + yn * yn
+    rad = 1.0 + cam.k1 * r2 + cam.k2 * r2 * r2 + cam.k3 * r2 ** 3
+    xd = xn * rad + 2 * cam.p1 * xn * yn + cam.p2 * (r2 + 2 * xn * xn)
+    yd = yn * rad + cam.p1 * (r2 + 2 * yn * yn) + 2 * cam.p2 * xn * yn
+    return xd, yd
+
+
+def _distort_jacobians(cam: CameraConfig, uv_ideal: np.ndarray,
+                       eps: float = 1e-4) -> np.ndarray:
+    """(N, 2, 2) pixel-space Jacobians d(distorted uv)/d(ideal uv) of the
+    radial-tangential model, by central differences on normalized coords.
+    Splats rendered through this local affine put their CORNERS (what the
+    FAST detector finds) where the true distorted projection would — a
+    center-only distortion leaves corner geometry inconsistent by the
+    distortion gradient times the patch radius (~1-3 px at a strong
+    barrel's edge), which breaks sigma=1 reprojection gates downstream."""
+    xn = (uv_ideal[:, 0] - cam.cx) / cam.fx
+    yn = (uv_ideal[:, 1] - cam.cy) / cam.fy
+    J = np.zeros((uv_ideal.shape[0], 2, 2), np.float64)
+    xpx, ypx = _distort_np(cam, xn + eps, yn)
+    xmx, ymx = _distort_np(cam, xn - eps, yn)
+    xpy, ypy = _distort_np(cam, xn, yn + eps)
+    xmy, ymy = _distort_np(cam, xn, yn - eps)
+    J[:, 0, 0] = (xpx - xmx) / (2 * eps) * cam.fx / cam.fx
+    J[:, 1, 0] = (ypx - ymx) / (2 * eps) * cam.fy / cam.fx
+    J[:, 0, 1] = (xpy - xmy) / (2 * eps) * cam.fx / cam.fy
+    J[:, 1, 1] = (ypy - ymy) / (2 * eps) * cam.fy / cam.fy
+    return J
+
+
 def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
-                 patch: int = 9, seed: int = 0) -> np.ndarray:
+                 patch: int = 9, seed: int = 0,
+                 distort: bool = False) -> np.ndarray:
     """Rasterize one 8-bit grayscale frame.
 
     Each visible landmark is drawn as a bright axis-aligned square whose
@@ -152,7 +194,12 @@ def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
     h, w = cam.height, cam.width
     rng = np.random.default_rng(seed)  # static background noise (same all frames)
     img = (96 + 8 * rng.standard_normal((h, w))).clip(0, 255)
-    uv, z = _project_np(cam, Tcw, scene.points)
+    uv, z = _project_np(cam, Tcw, scene.points, distort=distort)
+    warp = distort and cam.has_distortion
+    if warp:
+        uv_ideal, _ = _project_np(cam, Tcw, scene.points, distort=False)
+        with np.errstate(invalid="ignore"):
+            Js = _distort_jacobians(cam, np.nan_to_num(uv_ideal))
     vis = (z > 0.3) & (uv[:, 0] >= -30) & (uv[:, 0] < w + 30) \
         & (uv[:, 1] >= -30) & (uv[:, 1] < h + 30)
     order = np.argsort(-z)  # far first so near landmarks draw on top
@@ -165,34 +212,45 @@ def render_frame(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
         # descriptors are repeatable across views (real-imagery behavior)
         size = float(np.clip(patch * 16.0 / z[idx], 10.0, 44.0))
         half = size / 2.0
-        x0 = max(0, int(np.floor(cu - half)))
-        x1 = min(w, int(np.ceil(cu + half)) + 1)
-        y0 = max(0, int(np.floor(cv - half)))
-        y1 = min(h, int(np.ceil(cv + half)) + 1)
+        # under a distortion warp the splat may stretch; pad the raster box
+        margin = half * (1.4 if warp else 1.0)
+        x0 = max(0, int(np.floor(cu - margin)))
+        x1 = min(w, int(np.ceil(cu + margin)) + 1)
+        y0 = max(0, int(np.floor(cv - margin)))
+        y1 = min(h, int(np.ceil(cv + margin)) + 1)
         if y1 <= y0 or x1 <= x0:
             continue
-        px = np.arange(x0, x1)
-        py = np.arange(y0, y1)
-        tx = (px - (cu - half)) / size * 8.0 - 0.5
-        ty = (py - (cv - half)) / size * 8.0 - 0.5
-        inside_x = (tx > -0.5) & (tx < 7.5)
-        inside_y = (ty > -0.5) & (ty < 7.5)
-        if not inside_x.any() or not inside_y.any():
+        px = np.arange(x0, x1, dtype=np.float64)
+        py = np.arange(y0, y1, dtype=np.float64)
+        dx = np.broadcast_to(px[None, :] - cu, (len(py), len(px)))
+        dy = np.broadcast_to(py[:, None] - cv, (len(py), len(px)))
+        if warp:
+            # map image offsets back to IDEAL (undistorted) offsets through
+            # the local inverse Jacobian, so the splat's corners land where
+            # the true distorted projection puts them (first order)
+            Jinv = np.linalg.inv(Js[idx])
+            ox = Jinv[0, 0] * dx + Jinv[0, 1] * dy
+            oy = Jinv[1, 0] * dx + Jinv[1, 1] * dy
+        else:
+            ox, oy = dx, dy
+        tx = (ox + half) / size * 8.0 - 0.5
+        ty = (oy + half) / size * 8.0 - 0.5
+        inside = (tx > -0.5) & (tx < 7.5) & (ty > -0.5) & (ty < 7.5)
+        if not inside.any():
             continue
         txc = np.clip(tx, 0.0, 7.0)
         tyc = np.clip(ty, 0.0, 7.0)
         ix0 = np.minimum(txc.astype(int), 6)
         iy0 = np.minimum(tyc.astype(int), 6)
-        fx = (txc - ix0)[None, :]
-        fy = (tyc - iy0)[:, None]
+        fx = txc - ix0
+        fy = tyc - iy0
         t = scene.point_tex[idx]
-        val = (t[np.ix_(iy0, ix0)] * (1 - fy) * (1 - fx)
-               + t[np.ix_(iy0, ix0 + 1)] * (1 - fy) * fx
-               + t[np.ix_(iy0 + 1, ix0)] * fy * (1 - fx)
-               + t[np.ix_(iy0 + 1, ix0 + 1)] * fy * fx)
-        mask = inside_y[:, None] & inside_x[None, :]
+        val = (t[iy0, ix0] * (1 - fy) * (1 - fx)
+               + t[iy0, ix0 + 1] * (1 - fy) * fx
+               + t[iy0 + 1, ix0] * fy * (1 - fx)
+               + t[iy0 + 1, ix0 + 1] * fy * fx)
         region = img[y0:y1, x0:x1]
-        img[y0:y1, x0:x1] = np.where(mask, val, region)
+        img[y0:y1, x0:x1] = np.where(inside, val, region)
     return img.astype(np.uint8)
 
 
@@ -203,13 +261,13 @@ def render_sequence(cam: CameraConfig, traj: Trajectory, scene: Scene,
 
 
 def render_depth(cam: CameraConfig, Tcw: np.ndarray, scene: Scene,
-                 patch: int = 9) -> np.ndarray:
+                 patch: int = 9, distort: bool = False) -> np.ndarray:
     """(H, W) float32 depth map consistent with `render_frame`'s painter
     ordering (landmark squares carry their center depth; background = 0 =
     invalid, like a Kinect hole)."""
     h, w = cam.height, cam.width
     depth = np.zeros((h, w), np.float32)
-    uv, z = _project_np(cam, Tcw, scene.points)
+    uv, z = _project_np(cam, Tcw, scene.points, distort=distort)
     vis = (z > 0.3) & (uv[:, 0] >= -30) & (uv[:, 0] < w + 30) \
         & (uv[:, 1] >= -30) & (uv[:, 1] < h + 30)
     order = np.argsort(-z)

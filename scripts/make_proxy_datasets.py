@@ -56,7 +56,8 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
 
 def make_tum(root: str, n_frames: int, seed: int):
     cam = CameraConfig(fx=517.3, fy=516.5, cx=318.6, cy=255.3,
-                       width=640, height=480, fps=FPS)
+                       k1=0.2624, k2=-0.9531, p1=-0.0054, p2=0.0026,
+                       k3=1.1633, width=640, height=480, fps=FPS)
     scene = synthetic.make_scene(900, seed=seed)
     traj = synthetic.make_trajectory(n_frames, seed=seed)
     os.makedirs(os.path.join(root, "rgb"), exist_ok=True)
@@ -64,11 +65,13 @@ def make_tum(root: str, n_frames: int, seed: int):
     rgb_lines, depth_lines, gt_lines = [], [], []
     for i in range(n_frames):
         t = i / FPS
-        img = synthetic.render_frame(cam, traj.poses_cw[i], scene)
+        img = synthetic.render_frame(cam, traj.poses_cw[i], scene,
+                                     distort=True)
         name = f"{t:.6f}.png"
         _save_png(os.path.join(root, "rgb", name), img)
         rgb_lines.append(f"{t:.6f} rgb/{name}")
-        depth = synthetic.render_depth(cam, traj.poses_cw[i], scene)
+        depth = synthetic.render_depth(cam, traj.poses_cw[i], scene,
+                                       distort=True)
         d16 = np.clip(depth * DEPTH_FACTOR, 0, 65535).astype(np.uint16)
         _save_png(os.path.join(root, "depth", name), d16)
         depth_lines.append(f"{t:.6f} depth/{name}")
@@ -114,10 +117,18 @@ def make_kitti(root: str, n_frames: int, seed: int):
 
 
 def make_euroc(root: str, n_frames: int, seed: int):
+    # mild barrel: the splat renderer is first-order-consistent under
+    # distortion, so the proxy uses a gentler lens than the real MH01 and
+    # writes the matching calibration to sensor.yaml (which the loader
+    # reads, exactly as with real EuRoC data)
     cam = CameraConfig(fx=458.654, fy=457.296, cx=367.215, cy=248.375,
-                       width=752, height=480, fps=20.0)
+                       k1=-0.10, k2=0.01, width=752, height=480, fps=20.0)
     scene = synthetic.make_scene(900, seed=seed)
-    traj = synthetic.make_trajectory(n_frames, seed=seed)
+    # wider sweep: EuRoC's wide FOV halves pixel parallax per meter of
+    # translation vs the TUM intrinsics; the real MH01 is translation-rich,
+    # so the proxy must clear the initializer's ~1-degree parallax gate
+    # comfortably, not marginally
+    traj = synthetic.make_trajectory(n_frames, radius=3.5, seed=seed)
     cam_dir = os.path.join(root, "mav0", "cam0", "data")
     gt_dir = os.path.join(root, "mav0", "state_groundtruth_estimate0")
     os.makedirs(cam_dir, exist_ok=True)
@@ -126,7 +137,8 @@ def make_euroc(root: str, n_frames: int, seed: int):
     gt_lines = ["#timestamp,px,py,pz,qw,qx,qy,qz"]
     for i in range(n_frames):
         ns = int(i / 20.0 * 1e9)
-        img = synthetic.render_frame(cam, traj.poses_cw[i], scene)
+        img = synthetic.render_frame(cam, traj.poses_cw[i], scene,
+                                     distort=True)
         name = f"{ns}.png"
         _save_png(os.path.join(cam_dir, name), img)
         cam_lines.append(f"{ns},{name}")
@@ -136,6 +148,16 @@ def make_euroc(root: str, n_frames: int, seed: int):
                         f"{q[0]:.6f},{q[1]:.6f},{q[2]:.6f},{q[3]:.6f}")
     with open(os.path.join(root, "mav0", "cam0", "data.csv"), "w") as f:
         f.write("\n".join(cam_lines) + "\n")
+    with open(os.path.join(root, "mav0", "cam0", "sensor.yaml"), "w") as f:
+        f.write(
+            "sensor_type: camera\n"
+            "rate_hz: 20\n"
+            f"resolution: [{cam.width}, {cam.height}]\n"
+            "camera_model: pinhole\n"
+            f"intrinsics: [{cam.fx}, {cam.fy}, {cam.cx}, {cam.cy}]\n"
+            "distortion_model: radial-tangential\n"
+            f"distortion_coefficients: [{cam.k1}, {cam.k2}, {cam.p1}, "
+            f"{cam.p2}]\n")
     with open(os.path.join(gt_dir, "data.csv"), "w") as f:
         f.write("\n".join(gt_lines) + "\n")
     print(f"EuRoC proxy: {n_frames} frames -> {root}")

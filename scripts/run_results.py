@@ -47,9 +47,13 @@ def run_one(spec, datasets_dir, out_dir):
            "--dataset", spec["dataset"], "--root", root, "--out", traj]
     if spec["dataset"] == "kitti":
         cmd += ["--seq", "00"]
+    env = dict(os.environ)
+    # keep the ambient interpreter path (sitecustomize registers the TPU
+    # plugin); prepend the repo so `coslam_tpu` imports from source
+    env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
-                       timeout=3600)
+                       timeout=3600, env=env)
     wall = time.time() - t0
     res = dict(spec=spec, cmd=" ".join(cmd), wall_s=round(wall, 1),
                rc=p.returncode, traj=traj)

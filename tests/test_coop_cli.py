@@ -12,8 +12,11 @@ from coslam_tpu.cli import run_coop
 
 @pytest.mark.slow
 def test_coop_cli_udp_end_to_end():
+    # 90 frames: the same arc-overlap geometry as the in-process merge test
+    # (tests/test_cooperative.py) — 64 frames leaves only ~5 overlapping
+    # frames between the agents' arcs, too thin for Sim3 verification
     try:
-        res = run_coop(frames=64, transport="udp", publish_every=8)
+        res = run_coop(frames=90, transport="udp", publish_every=8)
     except OSError as e:  # no multicast loopback in this sandbox
         pytest.skip(f"UDP multicast unavailable: {e}")
     assert res["merges"] >= 1, "foreign sub-map never aligned"

@@ -27,6 +27,54 @@ CFG = SystemConfig(
 
 
 @pytest.mark.slow
+def test_two_agent_continued_correction():
+    """Post-merge, cross-agent place recognition must stay ALIVE: with the
+    receiver's loop closing ENABLED, later foreign keyframes arriving after
+    the first Sim3 alignment keep correcting inter-map drift through the
+    standard loop-closing path (reference: received keyframes enter
+    LocalMapping at ros_mono.cc:2163 and LoopClosing keeps running —
+    SURVEY.md section 3.5).  Requires >= 2 alignment/closure events."""
+    cfg = CFG.replace(loop=LoopConfig(
+        min_kfs_between_loops=8, sim3_min_bow_matches=15,
+        sim3_min_inliers=12))
+    scene = synthetic.make_cylinder_scene(700, seed=5)
+    traj = synthetic.make_loop_trajectory(90, seed=5, frac=0.72)
+    seq = synthetic.render_sequence(cfg.camera, traj, scene)
+
+    a0 = CoopAgent(cfg, 0, enable_loop_closing=True)   # receiver: LC ON
+    a1 = CoopAgent(cfg, 1, enable_loop_closing=False)
+    for i in range(0, 38):
+        a0.track_mono(seq[i], i)
+    assert a0.state == "OK"
+
+    bus = InMemoryBus()
+    events = []
+    # interleave sender tracking with periodic exchange (the reference's
+    # cadence: batches published every ~8 frames while both nodes run)
+    for i in range(30, 80):
+        a1.track_mono(seq[i], i)
+        if i % 8 == 0 or i == 79:
+            bus.publish(1, a1.drain_packets(max_batch=10),
+                        subscribers=[0, 1])
+            for p in bus.drain(0):
+                if a0.receive_packet(p):
+                    events.append(i)
+    assert a1.state == "OK"
+    assert a0.n_merges >= 2, (
+        f"only {a0.n_merges} alignment/closure events (at {events}) — "
+        "post-merge cross-agent correction never fired")
+
+    m = a0.map
+    K = int(m.n_kf)
+    valid = np.asarray(m.kf_valid[:K])
+    fid = np.asarray(m.kf_frame_id[:K])
+    centers = np.asarray(ms.kf_centers(m))[:K]
+    gt_centers = evaluation.trajectory_xyz(traj.poses_cw[fid])
+    ate_joint = evaluation.ate_rmse(centers[valid], gt_centers[valid])
+    assert ate_joint < 0.3, f"joint ATE {ate_joint:.3f}"
+
+
+@pytest.mark.slow
 def test_two_agent_map_merge():
     scene = synthetic.make_cylinder_scene(700, seed=5)
     traj = synthetic.make_loop_trajectory(90, seed=5, frac=0.72)

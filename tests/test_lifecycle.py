@@ -125,6 +125,55 @@ def test_grow_preserves_contents():
 
 
 @pytest.mark.slow
+def test_long_run_bounded_memory():
+    """Long-horizon smoke: ~2000 frames of a repeating orbit at tiny shapes.
+    The slot-recycling lifecycle must keep the system running with BOUNDED
+    capacities (compaction recycles culled slots; growth, if any, stays
+    geometric) and roughly flat per-frame cost — the property the reference
+    gets from erasing keyframes (Map.cc:55) and the round-2 review flagged
+    as claimed-but-never-demonstrated."""
+    import time
+
+    cam = CameraConfig(fx=200, fy=200, cx=120, cy=90, width=240, height=180)
+    cfg = SystemConfig(
+        camera=cam,
+        extractor=ExtractorConfig(n_features=200, max_keypoints=128,
+                                  n_levels=4),
+        mapper=MapperConfig(max_keyframes=24, max_points=2048,
+                            triangulation_neighbors=4, ba_window=8),
+        tracker=TrackerConfig(init_min_matches=40, init_min_good=25),
+    )
+    scene = synthetic.make_cylinder_scene(600, seed=9)
+    n = 2000
+    traj = synthetic.make_loop_trajectory(n, seed=9, frac=8.0)  # 8 laps
+    slam = System(cfg, enable_loop_closing=False)
+    t_half = t_full = None
+    CHUNK = 250
+    t0 = time.time()
+    for lo in range(0, n, CHUNK):
+        frames = [synthetic.render_frame(cam, traj.poses_cw[i], scene)
+                  for i in range(lo, min(lo + CHUNK, n))]
+        slam.run_sequence(frames, frame_ids=list(range(lo, lo + len(frames))))
+        if lo + CHUNK == n // 2:
+            t_half = time.time() - t0
+    t_full = time.time() - t0
+
+    assert slam.n_frames_tracked == n
+    tracked = sum(1 for s in slam.stats if not s.get("lost"))
+    assert tracked > 0.85 * len(slam.stats), \
+        f"only {tracked}/{len(slam.stats)} frames tracked"
+    # capacities stayed bounded: growth is geometric, so after 8 identical
+    # laps the map must fit in a small multiple of the initial capacity
+    assert slam.cfg.mapper.max_keyframes <= 24 * 4
+    assert slam.cfg.mapper.max_points <= 2048 * 4
+    # flat cost: the second half must not be dramatically slower (an O(K^2)
+    # or leak-like blowup would at least double it)
+    assert t_full - t_half < 2.5 * t_half, (t_half, t_full)
+    # host mirrors stayed exact through every compaction
+    assert slam._host_n_kf == int(np.asarray(slam.map.n_kf))
+
+
+@pytest.mark.slow
 def test_forced_compaction_and_growth_run():
     """End-to-end run with capacities forced LOW so compaction fires
     repeatedly and geometric growth triggers at least once — the remapping
