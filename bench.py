@@ -7,7 +7,9 @@ real-time at ~30 fps at 640x480/1000 features *with* its backend running):
     including initialization, keyframe insertion, triangulation, windowed
     local BA, culling and place recognition — i.e. everything the backend
     costs, amortized over tracked frames.  This is the honest comparison
-    against the reference's 30 fps and is the headline `value`.
+    against the reference's 30 fps and is the headline `value`.  The
+    workload matches the reference's: 640x480 frames, 1000 features
+    (ORB_SLAM2/my.yaml:29), full backend per keyframe.
   * hot_path — the per-frame tracking step (ORB extraction + previous-frame
     matching + motion-only BA) driven through `lax.scan` so a whole batch of
     frames runs in ONE device dispatch: a device-bound throughput number
@@ -85,11 +87,12 @@ def bench_hot_path():
 def bench_full_system(n_frames: int = 120):
     """Full System over a rendered sequence via the chunked steady-state
     driver (System.run_sequence): extraction + tracking + keyframe gate on
-    device in C-frame dispatches, cut-at-keyframe semantics (per-frame-exact
-    output), full backend per keyframe.  The workload matches the
-    reference's: 640x480, ~500 features, 30 fps-class inter-frame motion
-    (n_frames spread over the same arc the reference-class camera would
-    cover in n_frames/30 s)."""
+    device in C-frame dispatches, the keyframe backend dispatched async and
+    overlapped with the next chunk's tracking (the reference's
+    tracker/mapper thread decoupling).  The workload matches the
+    reference's: 640x480, 1000 features (my.yaml:29), 30 fps-class
+    inter-frame motion (n_frames spread over the same arc the
+    reference-class camera would cover in n_frames/30 s)."""
     import jax
     from coslam_tpu import config as cfg_mod
     from coslam_tpu.models.system import System
@@ -98,8 +101,9 @@ def bench_full_system(n_frames: int = 120):
     cfg = cfg_mod.SystemConfig(
         camera=cfg_mod.CameraConfig(fx=400, fy=400, cx=320, cy=240,
                                     width=640, height=480),
-        extractor=cfg_mod.ExtractorConfig(n_features=500, max_keypoints=512),
-        mapper=cfg_mod.MapperConfig(max_keyframes=64, max_points=8192))
+        extractor=cfg_mod.ExtractorConfig(n_features=1000,
+                                          max_keypoints=1024),
+        mapper=cfg_mod.MapperConfig(max_keyframes=64, max_points=16384))
     scene = synthetic.make_scene(600, seed=3)
     traj = synthetic.make_trajectory(n_frames, seed=3)
     seq = synthetic.render_sequence(cfg.camera, traj, scene)

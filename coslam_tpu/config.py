@@ -106,6 +106,13 @@ class TrackerConfig:
     min_frames: int = 0
     max_frames: int = 30               # = fps (Tracking.cc:87)
     ref_ratio_mono: float = 0.9
+    # Monocular insertion in the reference happens ONLY when LocalMapping
+    # is idle (Tracking.cc:1041-1059: busy mapper -> InterruptBA + refuse
+    # for mono) — its real keyframe throttle is the mapper's cycle time
+    # (~2-4 frames at 30 fps).  The TPU backend is dispatch-synchronous
+    # (always "idle"), so the throttle is modeled explicitly: a mono
+    # keyframe may only be flagged >= this many frames after the last one.
+    mapper_latency_frames: int = 3
     min_inliers_track: int = 30        # TrackLocalMap gate (Tracking.cc:969-973)
     min_inliers_reloc: int = 50
     min_matches_motion: int = 20       # TrackWithMotionModel gate
@@ -156,6 +163,12 @@ class LoopConfig:
     sim3_min_total_matches: int = 40
     essential_graph_iters: int = 20    # Optimizer.cc:781 (20 its)
     essential_graph_covis_w: int = 100 # Optimizer.cc edge weight gate
+    # sparse essential graph (the reference's edge set is O(K): spanning
+    # tree + strong covisibility + loop edges, Optimizer.cc:869-980; the
+    # dense all-pairs formulation walls at K ~ 2000)
+    sparse_essential_graph: bool = True
+    essential_graph_top_k: int = 12    # strong-covis neighbors kept per KF
+    essential_graph_pcg_iters: int = 64
     global_ba_iters: int = 10          # LoopClosing.cc:650
     vocab_branching: int = 10          # DBoW2-style tree: k
     vocab_depth: int = 3               # levels (k^d words); small tree, dense arrays

@@ -319,27 +319,37 @@ class CoopAgent(System):
         if not self.merged_agents.get(pkt.agent_id):
             return self._try_merge(k, pkt.agent_id)
         # already aligned: keep cross-agent place recognition ALIVE — later
-        # drift between the sub-maps is re-corrected by standard loop
-        # closing between local and foreign keyframes (SURVEY section 3.5;
-        # the reference gets this from its LoopClosing thread continuously,
-        # not once)
+        # drift between the sub-maps is re-corrected continuously (the
+        # reference gets this from its LoopClosing thread, which keeps
+        # detecting loops between the local and received sub-maps,
+        # SURVEY section 3.5).  Two mechanisms:
+        #   1. the standard loop-closing path (essential graph + GBA) when
+        #      the receiver runs with loop closing enabled;
+        #   2. cross-agent RE-ALIGNMENT: whenever the foreign keyframe
+        #      place-recognizes against OWN keyframes, verify a residual
+        #      Sim3 and fold it into the stored per-agent alignment, so the
+        #      whole foreign component snaps back and FUTURE packets arrive
+        #      pre-corrected.  Without this, the sender's internal drift
+        #      accumulates through the frozen first-merge Sim3.
         if self.loop_closer is not None:
             m, closed = self.loop_closer.on_keyframe(self.map, k)
             self.map = m
             if closed:
                 self.n_merges += 1
                 return True
-        return False
+        return self._try_realign(k, pkt.agent_id)
 
     # -- cross-agent alignment --------------------------------------------
-    def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
-        """Place-recognize the foreign keyframe against OWN keyframes via
-        the BoW database (the reference's KeyFrameDatabase feeding
+    def _find_cross_sim3(self, foreign_kf: int):
+        """Place-recognize `foreign_kf` against OWN keyframes via the BoW
+        database (the reference's KeyFrameDatabase feeding
         LoopClosing::DetectLoop detects cross-sub-map loops the same way,
         KeyFrameDatabase.cc:76); a short BoW candidate list is geometrically
-        pre-verified with landmark match counts, then Sim3 RANSAC aligns.
-        On a verified Sim3, the foreign component is similarity-transformed
-        into the local frame and duplicate landmarks fuse."""
+        pre-verified with landmark match counts, then Sim3 RANSAC verifies.
+
+        Returns (S_w, pt1, pt2, inlier_pairs) with S_w the world-to-world
+        similarity mapping the foreign keyframe's CURRENT frame into the own
+        map's frame, or None if no candidate verifies."""
         cfg = self.cfg
         m = self.map
         own = (self.kf_agent[: self.db.bows.shape[0]] == self.agent_id) \
@@ -354,7 +364,7 @@ class CoopAgent(System):
             bow_cands = [int(c) for c in np.argsort(-scores)[:8]
                          if scores[c] > 0.02]
             if not bow_cands:
-                return False
+                return None
             counts_sub = np.asarray(lc.match_counts_subset(
                 cfg, m, jnp.asarray(foreign_kf),
                 jnp.asarray(bow_cands, dtype=jnp.int32)))
@@ -380,23 +390,89 @@ class CoopAgent(System):
             S21 = {"s": res.s, "R": res.R, "t": res.t}
             T_for = geo.sim3_from_se3(m.kf_pose[foreign_kf])
             S_w = geo.sim3_compose(T_own, geo.sim3_compose(S21, T_for))
+            return S_w, pt1, pt2, ok & res.inliers
+        return None
 
-            kf_mask = jnp.asarray(self.kf_agent == agent_id) & m.kf_valid
-            pt_mask = jnp.asarray(self.pt_agent == agent_id) & m.pt_valid
-            m = _apply_sim3_to_component(cfg, m, S_w["s"], S_w["R"],
-                                         S_w["t"], kf_mask, pt_mask)
-            # fuse the matched duplicates (foreign landmark -> own landmark)
-            m = lc.fuse_landmarks(cfg, m, pt1, pt2, ok & res.inliers)
-            m = lm.refresh_point_geometry(cfg, m)
-            m = lc.global_ba(cfg, m, iters=5)
-            self.map = m
-            self._kf_pose_dirty = True
-            self.merged_agents[agent_id] = True
-            self._agent_sim3[agent_id] = (
-                float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))
-            self.n_merges += 1
-            return True
-        return False
+    def _apply_cross_sim3(self, agent_id: int, S_w, pt1, pt2, pairs,
+                          ba_iters: int):
+        """Similarity-correct the whole foreign component, fuse duplicate
+        landmarks, refresh geometry and jointly optimize."""
+        cfg = self.cfg
+        m = self.map
+        kf_mask = jnp.asarray(self.kf_agent == agent_id) & m.kf_valid
+        pt_mask = jnp.asarray(self.pt_agent == agent_id) & m.pt_valid
+        m = _apply_sim3_to_component(cfg, m, S_w["s"], S_w["R"],
+                                     S_w["t"], kf_mask, pt_mask)
+        m = lc.fuse_landmarks(cfg, m, pt1, pt2, pairs)
+        m = lm.refresh_point_geometry(cfg, m)
+        m = lc.global_ba(cfg, m, iters=ba_iters)
+        self.map = m
+        self._kf_pose_dirty = True
+
+    def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
+        """First cross-agent alignment: on a verified Sim3, the foreign
+        component is similarity-transformed into the local frame, duplicate
+        landmarks fuse, and the alignment is stored so later packets arrive
+        pre-transformed."""
+        found = self._find_cross_sim3(foreign_kf)
+        if found is None:
+            return False
+        S_w, pt1, pt2, pairs = found
+        self._apply_cross_sim3(agent_id, S_w, pt1, pt2, pairs, ba_iters=5)
+        self.merged_agents[agent_id] = True
+        self._agent_sim3[agent_id] = (
+            float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))
+        self.n_merges += 1
+        return True
+
+    def _try_realign(self, foreign_kf: int, agent_id: int) -> bool:
+        """Continued cross-agent correction (the reference's LoopClosing
+        keeps firing between local and received sub-maps as long as both
+        grow, ros_mono.cc:2163 -> LoopClosing.cc:57): re-verify the freshly
+        received keyframe against the own map; a verified RESIDUAL Sim3
+        (the component already sits in the local frame) re-corrects the
+        whole foreign component and composes into the stored alignment, so
+        the sender's internal drift cannot accumulate through a frozen
+        first-merge transform."""
+        found = self._find_cross_sim3(foreign_kf)
+        if found is None:
+            return False
+        S_res, pt1, pt2, pairs = found
+        # Residual sanity: the component is ALREADY aligned, so a valid
+        # correction must be near-identity.  A wildly-scaled Sim3 can carry
+        # many RANSAC "inliers" — projecting s*R*x+t into the candidate
+        # image is invariant under (s,t) -> (a*s,a*t), so scale is only
+        # weakly pinned by the reverse check — and applying one destroys
+        # the merged map.  (The first merge has no such prior; this gate is
+        # realign-only.)
+        s = float(np.asarray(S_res["s"]))
+        R = np.asarray(S_res["R"])
+        t = np.asarray(S_res["t"])
+        ang = np.degrees(np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1)))
+        if not (0.8 < s < 1.25) or ang > 15.0:
+            return False
+        # and it must actually move fused-pair duplicates closer together
+        pairs_np = np.asarray(pairs)
+        p1 = np.asarray(pt1)
+        p2 = np.asarray(pt2)
+        sel = pairs_np & (p1 != p2)
+        if sel.sum() >= 6:
+            pos = np.asarray(self.map.pt_pos)
+            a, b = pos[p1[sel]], pos[p2[sel]]
+            pre = np.median(np.linalg.norm(a - b, axis=1))
+            post = np.median(np.linalg.norm((s * a @ R.T + t) - b, axis=1))
+            if post >= pre:
+                return False
+        self._apply_cross_sim3(agent_id, S_res, pt1, pt2, pairs, ba_iters=4)
+        # compose: x_local_new = S_res(x_local_old), x_local_old = S_old(x_sender)
+        s0, R0, t0 = self._agent_sim3[agent_id]
+        S_old = {"s": jnp.float32(s0), "R": jnp.asarray(R0),
+                 "t": jnp.asarray(t0)}
+        S_new = geo.sim3_compose(S_res, S_old)
+        self._agent_sim3[agent_id] = (
+            float(S_new["s"]), np.asarray(S_new["R"]), np.asarray(S_new["t"]))
+        self.n_merges += 1
+        return True
 
 
 def serialize_packet(pkt: KeyFramePacket) -> bytes:

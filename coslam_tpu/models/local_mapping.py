@@ -535,6 +535,13 @@ def fuse_map_into_keyframe(cfg: SystemConfig, m: ms.MapState,
 
     row = m.kf_obs_pt[kf_id]
     free_kp = m.kf_kp_valid[kf_id] & (row < 0)
+    # landmarks already observed by this keyframe must not match a second
+    # (free) keypoint — one landmark, one observation per keyframe (the
+    # reference's Fuse skips pMP->IsInKeyFrame(pKF), ORBmatcher.cc:859)
+    P_ = m.pt_pos.shape[0]
+    in_row = jnp.zeros(P_ + 1, bool).at[jnp.where(row >= 0, row, P_)].set(
+        True)[:P_]
+    visible = visible & ~in_row
     mm = matching.match_windowed(
         m.pt_desc, uv_pred, r, visible, m.kf_desc[kf_id], m.kf_uv[kf_id],
         free_kp, cfg.matcher, level_q=pred_level, level_t=m.kf_level[kf_id],

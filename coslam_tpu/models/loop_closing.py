@@ -196,58 +196,103 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
     # strong-covisibility edges + ALL past loop edges + the new loop edge.
     # Measurements come from pre-correction relative poses (the drift-
     # consistent odometry); the new loop edge from the verified Sim3.
-    ei, ej = _all_pair_edges(K)
-    w_pair = covis_m[ei, ej]
-    seq = (ej - ei) == 1
-    strong = w_pair >= cfg.loop.essential_graph_covis_w
+    idx = jnp.arange(K)
     # derived spanning tree: each keyframe's parent is its most covisible
     # PREDECESSOR (the reference maintains mpParent incrementally,
     # KeyFrame.cc:342; here it is derived from the same covisibility)
-    idx = jnp.arange(K)
     pred_mask = (idx[None, :] < idx[:, None]) & m.kf_valid[None, :]
     parent = jnp.argmax(jnp.where(pred_mask, covis_m, -1), axis=1)
-    is_st = (ej >= 1) & (ei == parent[ej])
-    is_loop = ((ei == jnp.minimum(kf_cur, kf_loop))
-               & (ej == jnp.maximum(kf_cur, kf_loop)))
-    evalid = (seq | strong | is_st | is_loop) \
-        & m.kf_valid[ei] & m.kf_valid[ej]
-    if prev_loops is not None:
-        # accumulated loop edges from every past closure (the reference's
-        # KeyFrame::GetLoopEdges feeding sLoopEdges, Optimizer.cc:898-913)
-        pa = jnp.minimum(prev_loops[:, 0], prev_loops[:, 1])
-        pb = jnp.maximum(prev_loops[:, 0], prev_loops[:, 1])
-        # compare pairs componentwise: a K-radix int encoding silently
-        # truncates to int32 when x64 is off and would alias pairs once
-        # growth pushes K*K past 2^31
-        is_prev = jnp.any((ei[:, None] == pa[None, :])
-                          & (ej[:, None] == pb[None, :])
-                          & prev_loops_valid[None, :], axis=1)
-        evalid = evalid | (is_prev & m.kf_valid[ei] & m.kf_valid[ej])
-
-    meas = pose_graph.relative_sim3(v_old, ei, ej)
-    # loop edge measurement: S_j S_i^-1 with corrected relation.  For
-    # (i=min, j=max): if i is the loop KF, S_cur_w_new S_loop_w^-1 (or its
-    # inverse) — both orders handled via where.
     S_loop_meas_ji = geo.sim3_compose(S_cw_new, geo.sim3_inverse(S_loop_w))
-    cur_is_j = kf_cur > kf_loop
-    lm_s = jnp.where(cur_is_j, S_loop_meas_ji["s"],
-                     1.0 / S_loop_meas_ji["s"])
-    lm_R = jnp.where(cur_is_j, S_loop_meas_ji["R"],
-                     jnp.swapaxes(S_loop_meas_ji["R"], -1, -2))
-    lm_t = jnp.where(
-        cur_is_j, S_loop_meas_ji["t"],
-        -_he("ji,j->i", S_loop_meas_ji["R"], S_loop_meas_ji["t"])
-        / S_loop_meas_ji["s"])
-    meas = pose_graph.Sim3Vertices(
-        s=jnp.where(is_loop, lm_s, meas.s),
-        R=jnp.where(is_loop[:, None, None], lm_R, meas.R),
-        t=jnp.where(is_loop[:, None], lm_t, meas.t))
-
     fixed = jnp.zeros(K, bool).at[kf_loop].set(True)
     fixed = fixed | ~m.kf_valid
-    v_out = pose_graph.optimize(v_init, ei, ej, meas,
-                                cfg.loop.essential_graph_iters,
-                                edge_valid=evalid, fixed=fixed)
+    if cfg.loop.sparse_essential_graph:
+        # SPARSE edge list, O(K) edges (the reference's structure): the
+        # dense all-pairs enumeration (K(K-1)/2) plus a (7K)^2 direct solve
+        # wall at K ~ 2000
+        topk = min(cfg.loop.essential_graph_top_k, K - 1)
+        ei_seq, ej_seq = idx[:-1], idx[1:]
+        v_seq = m.kf_valid[ei_seq] & m.kf_valid[ej_seq]
+        ei_st, ej_st = parent, idx
+        v_st = (idx >= 1) & m.kf_valid[parent] & m.kf_valid[idx] \
+            & (parent < idx)
+        w_row = jnp.where(m.kf_valid[:, None] & m.kf_valid[None, :]
+                          & (idx[None, :] != idx[:, None]), covis_m, -1)
+        wk, jk = jax.lax.top_k(w_row, topk)            # (K, topk)
+        ei_cov = jnp.repeat(idx, topk)
+        ej_cov = jk.reshape(-1)
+        v_cov = (wk.reshape(-1) >= cfg.loop.essential_graph_covis_w) \
+            & m.kf_valid[ei_cov] & m.kf_valid[ej_cov]
+        if prev_loops is not None:
+            ei_prev = jnp.clip(prev_loops[:, 0], 0, K - 1)
+            ej_prev = jnp.clip(prev_loops[:, 1], 0, K - 1)
+            v_prev = prev_loops_valid & m.kf_valid[ei_prev] \
+                & m.kf_valid[ej_prev]
+        else:
+            ei_prev = jnp.zeros(0, jnp.int32)
+            ej_prev = jnp.zeros(0, jnp.int32)
+            v_prev = jnp.zeros(0, bool)
+        # the NEW loop edge lives in the statically-known LAST slot
+        ei = jnp.concatenate([ei_seq, ei_st, ei_cov, ei_prev,
+                              kf_loop[None]]).astype(jnp.int32)
+        ej = jnp.concatenate([ej_seq, ej_st, ej_cov, ej_prev,
+                              kf_cur[None]]).astype(jnp.int32)
+        evalid = jnp.concatenate(
+            [v_seq, v_st, v_cov, v_prev, jnp.ones(1, bool)])
+        meas = pose_graph.relative_sim3(v_old, ei, ej)
+        # loop-edge measurement S_j S_i^-1 = S_cur_w_new o S_loop_w^-1
+        # (edge oriented i=loop, j=cur — no min/max gymnastics needed)
+        meas = pose_graph.Sim3Vertices(
+            s=meas.s.at[-1].set(S_loop_meas_ji["s"]),
+            R=meas.R.at[-1].set(S_loop_meas_ji["R"]),
+            t=meas.t.at[-1].set(S_loop_meas_ji["t"]))
+        v_out = pose_graph.optimize_sparse(
+            v_init, ei, ej, meas, cfg.loop.essential_graph_iters,
+            edge_valid=evalid, fixed=fixed,
+            pcg_iters=cfg.loop.essential_graph_pcg_iters)
+    else:
+        ei, ej = _all_pair_edges(K)
+        w_pair = covis_m[ei, ej]
+        seq = (ej - ei) == 1
+        strong = w_pair >= cfg.loop.essential_graph_covis_w
+        is_st = (ej >= 1) & (ei == parent[ej])
+        is_loop = ((ei == jnp.minimum(kf_cur, kf_loop))
+                   & (ej == jnp.maximum(kf_cur, kf_loop)))
+        evalid = (seq | strong | is_st | is_loop) \
+            & m.kf_valid[ei] & m.kf_valid[ej]
+        if prev_loops is not None:
+            # accumulated loop edges from every past closure (the
+            # reference's KeyFrame::GetLoopEdges feeding sLoopEdges,
+            # Optimizer.cc:898-913)
+            pa = jnp.minimum(prev_loops[:, 0], prev_loops[:, 1])
+            pb = jnp.maximum(prev_loops[:, 0], prev_loops[:, 1])
+            # compare pairs componentwise: a K-radix int encoding silently
+            # truncates to int32 when x64 is off and would alias pairs once
+            # growth pushes K*K past 2^31
+            is_prev = jnp.any((ei[:, None] == pa[None, :])
+                              & (ej[:, None] == pb[None, :])
+                              & prev_loops_valid[None, :], axis=1)
+            evalid = evalid | (is_prev & m.kf_valid[ei] & m.kf_valid[ej])
+
+        meas = pose_graph.relative_sim3(v_old, ei, ej)
+        # loop edge measurement: S_j S_i^-1 with corrected relation.  For
+        # (i=min, j=max): if i is the loop KF, S_cur_w_new S_loop_w^-1 (or
+        # its inverse) — both orders handled via where.
+        cur_is_j = kf_cur > kf_loop
+        lm_s = jnp.where(cur_is_j, S_loop_meas_ji["s"],
+                         1.0 / S_loop_meas_ji["s"])
+        lm_R = jnp.where(cur_is_j, S_loop_meas_ji["R"],
+                         jnp.swapaxes(S_loop_meas_ji["R"], -1, -2))
+        lm_t = jnp.where(
+            cur_is_j, S_loop_meas_ji["t"],
+            -_he("ji,j->i", S_loop_meas_ji["R"], S_loop_meas_ji["t"])
+            / S_loop_meas_ji["s"])
+        meas = pose_graph.Sim3Vertices(
+            s=jnp.where(is_loop, lm_s, meas.s),
+            R=jnp.where(is_loop[:, None, None], lm_R, meas.R),
+            t=jnp.where(is_loop[:, None], lm_t, meas.t))
+        v_out = pose_graph.optimize(v_init, ei, ej, meas,
+                                    cfg.loop.essential_graph_iters,
+                                    edge_valid=evalid, fixed=fixed)
 
     # ---- 4. correct landmarks through their reference keyframe's old->new
     # similarity (reference Optimizer.cc:1010-1030 point correction)
@@ -274,10 +319,16 @@ def global_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 8) -> ms.MapState:
     inv_sigma2 = 1.0 / jnp.asarray(cfg.extractor.level_sigma2,
                                    jnp.float32)[obs_level]
     K = m.kf_pose.shape[0]
+    # monocular gauge: fixing ONE camera leaves the global SCALE free, and
+    # LM can drift it by large factors (invisible to Umeyama-aligned ATE but
+    # fatal to anything holding map-frame transforms, e.g. the cooperative
+    # per-agent Sim3).  Pin the first TWO keyframes — their baseline anchors
+    # the scale.  Depth sensors observe scale directly; one anchor suffices.
+    n_fix = 2 if cfg.sensor == "mono" else 1
     prob = ba.BAProblem(
         poses=m.kf_pose, points=m.pt_pos, obs_kf=obs_kf, obs_pt=obs_pt,
         obs_uv=obs_uv, obs_w=inv_sigma2, obs_valid=obs_valid,
-        kf_fixed=(jnp.arange(K) == 0) | ~m.kf_valid)
+        kf_fixed=(jnp.arange(K) < n_fix) | ~m.kf_valid)
     res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
     outlier = (obs_valid & ~res.obs_inlier).reshape(m.kf_obs_pt.shape)
     return m._replace(kf_pose=res.poses, pt_pos=res.points,

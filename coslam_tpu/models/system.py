@@ -152,6 +152,7 @@ class System:
         self._host_n_kf = 0   # exact host mirror of map.n_kf (slot counter)
         self._host_n_pt = 0   # host mirror of map.n_pt, exact after every
         #                       insert batch (capacity watermarks only)
+        self._pending_kf: List[tuple] = []  # deferred async-insert bookkeeping
         self._init_key = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------
@@ -339,14 +340,30 @@ class System:
                     res2, self.map = tracking.track_local_map(
                         self.cfg, self.map, frame, res.T, res.kp_pt)
 
+        need_close = False
         if res2 is not None:
+            pulls = [res2.n_inliers, res2.T, res2.ref_kf, res2.n_ref_matches]
+            if self.cfg.sensor != "mono" and self._cur_depth is not None:
+                # bNeedToInsertClose inputs (reference Tracking.cc:1005-1020)
+                cam = self.cfg.camera
+                dth = (cam.bf / cam.fx) * cam.depth_th_factor \
+                    if cam.bf > 0 else 8.0
+                close = (self._cur_depth > 0.05) & (self._cur_depth < dth) \
+                    & frame.valid
+                pulls.append((close & (res2.kp_pt >= 0)).sum())
+                pulls.append((close & (res2.kp_pt < 0)).sum())
             # ONE bundled transfer for every scalar the state machine needs
-            n_inl, T_np, ref_kf, n_ref = jax.device_get(
-                (res2.n_inliers, res2.T, res2.ref_kf, res2.n_ref_matches))
+            got = jax.device_get(pulls)
+            n_inl, T_np, ref_kf, n_ref = got[:4]
             n_inl, ref_kf, n_ref = int(n_inl), int(ref_kf), int(n_ref)
+            if len(got) > 4:
+                need_close = int(got[4]) < 100 and int(got[5]) > 70
         else:
             n_inl = 0
         if n_inl < 10:
+            import os as _os
+            if _os.environ.get("COSLAM_DEBUG_CHUNK"):
+                print(f"[pf f={frame_id}] LOST inl={n_inl}", flush=True)
             # lost: constant-velocity dead reckoning until relocalization
             # succeeds (reference keeps the LOST state the same way)
             self.state = "LOST"
@@ -372,7 +389,8 @@ class System:
         self.frames_since_kf += 1
         self.stats.append({"frame": frame_id, "inliers": n_inl, "lost": False})
 
-        if not self.localization_only and self._need_keyframe(n_inl):
+        if not self.localization_only \
+                and self._need_keyframe(n_inl, need_close):
             self._insert_keyframe(frame, frame_id)
             # the frame *is* the new keyframe: report its (BA-adjusted) pose
             # and anchor the log to itself
@@ -419,27 +437,42 @@ class System:
                                          fid(i), ts(i))
             return self.track_mono(images[i], fid(i), ts(i))
 
-        # adaptive chunk size: right after a keyframe the map is in flux
-        # (fresh triangulations, BA shifts) and a long chunk would track too
-        # long against a stale map — exactly when the reference's tracker
-        # also benefits from its mapper's low latency.  In steady state
-        # (no recent keyframe) chunks grow to the configured size.  Only two
-        # program shapes exist (small/large), both AOT-warmed.
-        small = max(2, chunk // 4)
+        # OVERLAPPED steady state (the reference's mapper runs WHILE the
+        # tracker tracks, LocalMapping.cc:47 / System.cc:92-102; here the
+        # keyframe backend is dispatched WITHOUT blocking and the next
+        # chunk's frames track against the pre-insertion map — the same
+        # bounded asynchrony, with the insert's host bookkeeping (BoW row,
+        # place recognition, loop closing) deferred one chunk and collected
+        # while the next chunk runs on device):
+        #   * whole-chunk acceptance: frames after the flagged keyframe are
+        #     KEPT (tracked against the pre-insert map), not re-tracked;
+        #   * the carry chains on device across keyframes via the
+        #     BA-correction right-multiplication (chain_carry_after_insert),
+        #     so the steady-state path does exactly ONE host sync per chunk
+        #     (the small per-frame scalar readback).
+        C = chunk
         i = 0
-        cur = small
-        carry = None   # device-resident tracking state chains across CLEAN
-        #                chunks with ZERO host->device transfers; rebuilt
-        #                from host state after keyframes/losses
+        carry = None   # device-resident tracking state; rebuilt from host
+        #                state only after losses/loop-corrections/compaction
         while i < n:
             # the sequence tail and any non-OK stretch run per-frame
-            if self.state != "OK" or n - i < cur:
+            if self.state != "OK" or n - i < C:
+                self._flush_pending()
+                if carry is not None:
+                    self._sync_host_from_carry(carry)
+                    carry = None
                 track_one(i)
                 i += 1
-                carry = None
                 continue
-            C = cur
             imgs = jnp.stack([jnp.asarray(images[i + j]) for j in range(C)])
+            if depths is not None:
+                aux_imgs = jnp.stack([jnp.asarray(depths[i + j])
+                                      for j in range(C)])
+            elif right_images is not None:
+                aux_imgs = jnp.stack([jnp.asarray(right_images[i + j])
+                                      for j in range(C)])
+            else:
+                aux_imgs = None
             if carry is None:
                 carry = tracking.ChunkCarry(
                     T=jnp.asarray(self.last_T),
@@ -454,9 +487,16 @@ class System:
                     ref_kf=jnp.asarray(self.last_ref_kf, jnp.int32),
                     pt_visible=self.map.pt_visible,
                     pt_found=self.map.pt_found)
-            carry2, steps, frames, kp_pts, vis_snap, found_snap = \
-                tracking.track_chunk(self.cfg, self.map, imgs,
-                                     not self.localization_only, carry)
+            # poses the chunk tracks against — snapshot BEFORE deferred loop
+            # closing can move them
+            kf_pose_snap = self._kf_pose_np()
+            carry2, steps, frames, kp_pts, vis_snap, found_snap, kp_depths \
+                = tracking.track_chunk(self.cfg, self.map, imgs,
+                                       not self.localization_only, carry,
+                                       aux_imgs)
+            # deferred bookkeeping of the PREVIOUS chunk's keyframe runs on
+            # the host while this chunk runs on device
+            map_moved = self._flush_pending()
             out = jax.device_get(steps)        # ONE transfer per chunk
             oks = np.asarray(out.ok)
             first_bad = int(np.argmin(oks)) if not oks.all() else C
@@ -467,99 +507,245 @@ class System:
                       f"need={list(np.asarray(out.need_kf).astype(int))} "
                       f"ok={list(oks.astype(int))}", flush=True)
 
-            # CUT-AT-KEYFRAME semantics: accept frames only up to and
-            # including the FIRST keyframe-flagged frame; later frames are
-            # discarded and re-tracked next chunk against the UPDATED map.
-            # This makes the chunked driver's output per-frame-exact (the
-            # mapper never lags the tracker), trading a little discarded
-            # device work — the dispatch/readback round trips, which are
-            # what dominate on a remote-attached TPU, stay amortized.
-            #
-            # A frame can also DEGRADE without flagging: when per-chunk
-            # decay is fast, inliers may fall from above the c2 insertion
-            # band straight below its >15 floor in one step — the gate then
-            # never fires and the chunk would free-run on a stale map.  Cut
-            # BEFORE the first such frame and hand it to the per-frame path,
-            # which treats it exactly as the reference tracker would.
+            # A frame can DEGRADE without flagging a keyframe: inliers fall
+            # from above the c2 insertion band straight below its >15 floor
+            # in one step — the gate never fires and the chunk would
+            # free-run on a stale map.  Cut BEFORE the first such frame and
+            # hand it to the per-frame path, which treats it exactly as the
+            # reference tracker would.  (An absolute floor only: a cut
+            # keyed to n_ref misfires on geometries where the reference
+            # keyframe's >=3-obs landmark count dwarfs per-frame recall.)
             inl = np.asarray(out.n_inliers)
-            nref = np.asarray(out.n_ref_matches)
-            degraded = (inl <= 15) | (inl < 0.5 * nref)
+            degraded = inl <= 20
             deg_idx = np.nonzero(degraded[:first_bad])[0]
             limit = int(deg_idx[0]) if deg_idx.size else first_bad
 
             if limit == 0:
                 # no safely-usable prefix — per-frame path arbitrates this
-                # frame (tracks it, inserts, or enters LOST/reloc)
+                # frame (tracks it, inserts, or enters LOST/reloc).  Restore
+                # host state from the chunk's INPUT carry (last good state);
+                # if a deferred correction moved the map, re-express the
+                # pose in the corrected frame via its reference keyframe.
+                self._sync_host_from_carry(carry)
+                if map_moved and self.last_ref_kf >= 0:
+                    r = self.last_ref_kf
+                    self.last_T = (self.last_T
+                                   @ np.linalg.inv(kf_pose_snap[r])
+                                   @ self._kf_pose_np()[r]).astype(np.float32)
+                    self.velocity = None
                 track_one(i)
                 i += 1
+                carry = None
                 continue
 
             needs = np.asarray(out.need_kf)
             flag_idx = np.nonzero(needs[:limit])[0]
             j1 = int(flag_idx[0]) if flag_idx.size else None
-            n_acc = limit if j1 is None else j1 + 1
+            # SPLICED acceptance: cut at the first keyframe flag, but keep
+            # the healthy UNFLAGGED suffix (frames that tracked well against
+            # the pre-insert map — the reference's mapper-lag semantics).  A
+            # suffix frame that itself flags a keyframe ends the splice: it
+            # re-tracks next chunk against the post-insert map, where its
+            # c2 decision is made with fresh triangulations (fast-motion
+            # scenes need near-per-frame keyframe cadence; free-running past
+            # a flag starves the map).
+            if j1 is None:
+                n_acc = limit
+            else:
+                n_acc = j1 + 1
+                while n_acc < limit and not needs[n_acc]:
+                    n_acc += 1
 
-            kf_pose_np = self._kf_pose_np()
             for j in range(n_acc):
                 self._note_frame(fid(i + j), ts(i + j))
                 ref_kf = int(out.ref_kf[j])
-                T_rel = out.T[j] @ np.linalg.inv(kf_pose_np[ref_kf])
+                T_rel = out.T[j] @ np.linalg.inv(kf_pose_snap[ref_kf])
                 self.trajectory.append((fid(i + j), ref_kf, T_rel))
                 self.stats.append({"frame": fid(i + j),
                                    "inliers": int(out.n_inliers[j]),
                                    "lost": False})
-
-            # merge the chunk's visibility statistics AT the cut index;
-            # restore tracker state from the LAST accepted frame
-            last = n_acc - 1
-            if n_acc == C:
-                vis, found = carry2.pt_visible, carry2.pt_found
-            else:
-                vis, found = vis_snap[last], found_snap[last]
-            self.map = self.map._replace(pt_visible=vis, pt_found=found)
-            prev_T = np.asarray(out.T[last - 1]) if last >= 1 else self.last_T
-            self.last_T = np.asarray(out.T[last])
-            self.velocity = self.last_T @ np.linalg.inv(prev_T) \
-                if (last >= 1 or self.velocity is not None) else None
-            if n_acc == C:
-                self.last_kp_pt = carry2.kp_pt
-                self.last_level = carry2.level
-            else:
-                self.last_kp_pt = kp_pts[last]
-                self.last_level = frames.level[last]
-            self.last_ref_kf = int(out.ref_kf[last])
-            self.ref_kf_matches = int(out.n_ref_matches[last])
+            self.ref_kf_matches = int(out.n_ref_matches[n_acc - 1])
             self.frames_since_kf += n_acc
 
-            if j1 is not None:
-                # insert the flagged keyframe (the chunk's final accepted
-                # frame), then hand tracking the keyframe's post-backend
-                # observation row + BA-adjusted pose — the per-frame handoff
+            if map_moved:
+                # a deferred loop closure / global BA moved the map while
+                # this chunk was in flight: accept the frames (their anchors
+                # re-express automatically) but DON'T insert from stale
+                # state — the c2 condition persists, so the next chunk
+                # re-flags.  Rebuild tracking state in the corrected frame.
+                last = n_acc - 1
+                ref = int(out.ref_kf[last])
+                self.map = self.map._replace(
+                    pt_visible=vis_snap[last] if n_acc < C
+                    else carry2.pt_visible,
+                    pt_found=found_snap[last] if n_acc < C
+                    else carry2.pt_found)
+                T_rel = out.T[last] @ np.linalg.inv(kf_pose_snap[ref])
+                self.last_T = (T_rel @ self._kf_pose_np()[ref]).astype(
+                    np.float32)
+                self.velocity = None
+                self.last_kp_pt = kp_pts[last] if n_acc < C else carry2.kp_pt
+                self.last_level = frames.level[last] if n_acc < C \
+                    else carry2.level
+                self.last_ref_kf = ref
+                carry = None
+                i += n_acc
+                continue
+
+            if j1 is not None and self._capacity_headroom_ok():
+                # ---- overlapped insert: dispatch the backend WITHOUT
+                # blocking; chain the carry on device; defer bookkeeping
+                last = n_acc - 1
+                frame_j = jax.tree.map(lambda a: a[j1], frames)
+                # per-keypoint depth already computed in-chunk (zeros = mono)
+                depth_j = kp_depths[j1] if aux_imgs is not None else None
+                # merge the chunk's visibility stats before the insert's
+                # culling consumes found/visible ratios
+                vis, found = ((carry2.pt_visible, carry2.pt_found)
+                              if n_acc == C
+                              else (vis_snap[last], found_snap[last]))
+                self.map = self.map._replace(pt_visible=vis, pt_found=found)
+                m2, _k, aux = lm.backend_insert(
+                    self.cfg, self.map, frame_j, jnp.asarray(out.T[j1]),
+                    jnp.asarray(fid(i + j1), jnp.int32), kp_pts[j1],
+                    depth_j is not None, depth_j, self.db.vocab)
+                self.map = m2
+                kf_i = self._host_n_kf
+                self._host_n_kf += 1
+                self._host_n_pt += 2 * self.cfg.extractor.max_keypoints
+                #   (conservative; exact at flush)
+                self._note_inserted_keyframes(kf_i, 1)
+                self._pending_kf.append((kf_i, aux))
+                self._kf_pose_dirty = True
+                self.stats[-(n_acc - j1)]["keyframe"] = True
+                # the keyframe frame anchors to itself (its map pose IS the
+                # BA-adjusted pose; no readback needed)
+                self.trajectory[-(n_acc - j1)] = (
+                    fid(i + j1), kf_i, np.eye(4, dtype=np.float32))
+                carry = tracking.chain_carry_after_insert(
+                    carry, m2, steps.T, kp_pts, frames.level,
+                    jnp.asarray(j1, jnp.int32),
+                    jnp.asarray(last, jnp.int32),
+                    jnp.asarray(kf_i, jnp.int32),
+                    jnp.asarray(last - j1, jnp.int32))
+                self.frames_since_kf = last - j1
+            elif j1 is not None:
+                # degradation cut or capacity watermark: synchronous insert
+                # (handles compaction/remap), host-state rebuild
+                last = n_acc - 1
+                vis, found = ((carry2.pt_visible, carry2.pt_found)
+                              if n_acc == C
+                              else (vis_snap[last], found_snap[last]))
+                self.map = self.map._replace(pt_visible=vis, pt_found=found)
+                prev_T = np.asarray(out.T[last - 1]) if last >= 1 \
+                    else self.last_T
+                self.last_T = np.asarray(out.T[last])
+                self.velocity = self.last_T @ np.linalg.inv(prev_T) \
+                    if (last >= 1 or self.velocity is not None) else None
+                self.last_kp_pt = kp_pts[last] if n_acc < C \
+                    else carry2.kp_pt
+                self.last_level = frames.level[last] if n_acc < C \
+                    else carry2.level
+                self.last_ref_kf = int(out.ref_kf[last])
                 last_kf_i = self._insert_keyframes_batch(
                     [(j1, fid(i + j1))],
-                    frames, kp_pts, out, images, depths, right_images, i)
-                self.stats[-1]["keyframe"] = True
-                self.frames_since_kf = 0
-                self.last_kp_pt = self.map.kf_obs_pt[last_kf_i]
-                self.last_T = self._last_insert_pose
-                self.last_ref_kf = last_kf_i
-                # the keyframe frame anchors to itself (reference keeps
-                # mpReferenceKF = the new KF for that frame)
-                self.trajectory[-1] = (fid(i + j1), last_kf_i,
-                                       np.eye(4, dtype=np.float32))
-            # a cut chunk (keyframe or degradation) starts the next stretch
-            # with a small chunk; clean full chunks grow back and CHAIN the
-            # device carry directly (no host->device state reconstruction)
-            if n_acc == C and j1 is None:
-                cur = chunk
-                carry = carry2
+                    frames, kp_pts, out, images, depths, right_images, i,
+                    kp_depths=kp_depths if aux_imgs is not None else None)
+                self.stats[-(n_acc - j1)]["keyframe"] = True
+                self.frames_since_kf = n_acc - 1 - j1
+                self.trajectory[-(n_acc - j1)] = (
+                    fid(i + j1), last_kf_i, np.eye(4, dtype=np.float32))
+                if j1 == n_acc - 1:
+                    # keyframe is the final accepted frame: hand tracking
+                    # its post-backend row + BA-adjusted pose
+                    self.last_kp_pt = self.map.kf_obs_pt[last_kf_i]
+                    self.last_T = self._last_insert_pose
+                    self.last_ref_kf = last_kf_i
+                carry = None
+            elif n_acc == C:
+                carry = carry2        # clean chunk: chain on device
             else:
-                cur = small
+                # degradation cut without keyframe: host-state rebuild
+                last = n_acc - 1
+                self.map = self.map._replace(pt_visible=vis_snap[last],
+                                             pt_found=found_snap[last])
+                prev_T = np.asarray(out.T[last - 1]) if last >= 1 \
+                    else self.last_T
+                self.last_T = np.asarray(out.T[last])
+                self.velocity = self.last_T @ np.linalg.inv(prev_T) \
+                    if (last >= 1 or self.velocity is not None) else None
+                self.last_kp_pt = kp_pts[last]
+                self.last_level = frames.level[last]
+                self.last_ref_kf = int(out.ref_kf[last])
                 carry = None
             i += n_acc
+        self._flush_pending()
+        if carry is not None:
+            self._sync_host_from_carry(carry)
+
+    def _capacity_headroom_ok(self) -> bool:
+        """True when the overlapped (async) insert can run without any
+        chance of compaction/growth (which remap slot ids and must
+        synchronize)."""
+        K = self.cfg.mapper.max_keyframes
+        P = self.cfg.mapper.max_points
+        N = self.cfg.extractor.max_keypoints
+        return (self._host_n_kf + 1 < K - 1
+                and self._host_n_pt + 2 * N < 0.95 * P)
+
+    def _sync_host_from_carry(self, carry):
+        """Pull the device-resident tracking state back into the host
+        mirrors (used when leaving the chunked steady state: sequence tail,
+        losses, loop corrections)."""
+        T, vel, has_vel, ref_kf = jax.device_get(
+            (carry.T, carry.vel, carry.has_vel, carry.ref_kf))
+        self.last_T = np.asarray(T)
+        self.velocity = np.asarray(vel) if bool(has_vel) else None
+        self.last_kp_pt = carry.kp_pt
+        self.last_level = carry.level
+        self.last_ref_kf = int(ref_kf)
+        self.map = self.map._replace(pt_visible=carry.pt_visible,
+                                     pt_found=carry.pt_found)
+
+    def _flush_pending(self) -> bool:
+        """Collect the deferred bookkeeping of async keyframe inserts: BoW
+        row into the place-recognition DB, exact point count, vocabulary
+        retrain, deferred global BA and loop closing.  Returns True if the
+        map's poses moved (loop closure / GBA), which invalidates any
+        in-flight chunk carry."""
+        if not self._pending_kf:
+            return False
+        pend = self._pending_kf
+        self._pending_kf = []
+        get = jax.device_get([(a["bow_row"], a["n_pt"], a["covis_row"])
+                              for _, a in pend])
+        for (kf_i, _), (bow_row, _n, _c) in zip(pend, get):
+            self.db.add_row(kf_i, bow_row)
+        self._host_n_pt = int(get[-1][1])
+        self.db.maybe_retrain(self.map)
+        moved = False
+        if self.loop_closer is not None:
+            m = self.loop_closer.maybe_run_gba(self.map)
+            if m is not self.map:
+                moved = True
+                self.map = m
+            kf_i = pend[-1][0]
+            m, closed = self.loop_closer.on_keyframe(
+                self.map, kf_i, covis_row=get[-1][2])
+            self.map = m
+            if closed:
+                moved = True
+                self.n_loops_closed += 1
+                self.map = lm.refresh_point_geometry(self.cfg, self.map)
+                if self.stats:
+                    self.stats[-1]["loop_closed"] = True
+        if moved:
+            self._kf_pose_dirty = True
+        return moved
 
     def _insert_keyframes_batch(self, jobs, frames, kp_pts, out,
-                                images, depths, right_images, base_i):
+                                images, depths, right_images, base_i,
+                                kp_depths=None):
         """Insert a chunk's flagged keyframes: every backend_insert program
         is dispatched without waiting (XLA queues them on device), then one
         bundled transfer collects each keyframe's BoW row / covisibility /
@@ -585,8 +771,9 @@ class System:
         corr = None                        # device (4, 4), no readbacks
         for jq, frame_id in jobs:
             frame_j = jax.tree.map(lambda a: a[jq], frames)
-            depth_j = self._depth_for(frame_j, images, depths, right_images,
-                                      base_i + jq)
+            depth_j = kp_depths[jq] if kp_depths is not None else \
+                self._depth_for(frame_j, images, depths, right_images,
+                                base_i + jq)
             T_raw = jnp.asarray(out.T[jq])
             T_in = T_raw if corr is None else T_raw @ corr
             m, _k, aux = lm.backend_insert(
@@ -675,25 +862,34 @@ class System:
         return best
 
     # ------------------------------------------------------------------
-    def _need_keyframe(self, n_inliers: int) -> bool:
+    def _need_keyframe(self, n_inliers: int,
+                       need_close: bool = False) -> bool:
         """NeedNewKeyFrame (reference Tracking.cc:979-1063), the exact
         conjunction (c1a||c1b||c1c) && c2 with nRefMatches =
         TrackedMapPoints(nMinObs=3) of the reference KF (computed on device
-        each frame, tracking.TrackResult.n_ref_matches).  The local mapper
-        here is synchronous, so bLocalMappingIdle is always true and c1b
-        reduces to the min_frames floor.  No capacity gate: _insert_keyframe
-        recycles/grows slots on demand (models/compaction.py), matching the
-        reference's unbounded map."""
+        each frame, tracking.TrackResult.n_ref_matches) and the stereo/RGB-D
+        bNeedToInsertClose term (`need_close`, Tracking.cc:1020-1037).  The
+        local mapper here is synchronous, so bLocalMappingIdle is always
+        true and c1b reduces to the min_frames floor.  No capacity gate:
+        _insert_keyframe recycles/grows slots on demand
+        (models/compaction.py), matching the reference's unbounded map."""
         tr = self.cfg.tracker
         n_ref = self.ref_kf_matches
-        ratio = tr.ref_ratio_mono if self.cfg.sensor == "mono" else 0.75
-        if self._host_n_kf < 2:
-            ratio = 0.4                          # Tracking.cc:1019
+        # reference Tracking.cc:1022-1028: 0.75 for depth sensors (0.4 while
+        # the map has a single keyframe), but mono is UNCONDITIONALLY 0.9
+        if self.cfg.sensor == "mono":
+            ratio = tr.ref_ratio_mono
+        else:
+            ratio = 0.4 if self._host_n_kf < 2 else 0.75
         c1a = self.frames_since_kf >= tr.max_frames
         c1b = self.frames_since_kf >= tr.min_frames
         c1c = (self.cfg.sensor != "mono"
-               and n_inliers < n_ref * 0.25)
-        c2 = n_inliers < n_ref * ratio and n_inliers > 15
+               and (n_inliers < n_ref * 0.25 or need_close))
+        c2 = (n_inliers < n_ref * ratio or need_close) and n_inliers > 15
+        if self.cfg.sensor == "mono" \
+                and self.frames_since_kf < tr.mapper_latency_frames:
+            # bLocalMappingIdle throttle (Tracking.cc:1041-1059)
+            return False
         return bool((c1a or c1b or c1c) and c2)
 
     # ------------------------------------------------------------------
@@ -877,6 +1073,7 @@ class System:
         self._kf_pose_dirty = True
         self._host_n_kf = 0
         self._host_n_pt = 0
+        self._pending_kf = []
         self.db = kdb.KeyFrameDatabase(self.cfg)
         if self.loop_closer is not None:
             self.loop_closer = lc.LoopCloser(self.cfg, self.db)
@@ -899,6 +1096,7 @@ class System:
         """Finish all work and report run statistics (reference
         System::Shutdown, System.h:97, joins the three threads; there are no
         threads here, so this just finalizes device work and summarizes)."""
+        self._flush_pending()
         if self.loop_closer is not None:
             # flush a deferred global BA so the exported map is consistent
             self.map = self.loop_closer.maybe_run_gba(self.map)

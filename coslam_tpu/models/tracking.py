@@ -334,15 +334,27 @@ def _track_body(cfg: SystemConfig, m: MapState, frame: Frame,
 
     if ref_kf is not None:
         # TrackReferenceKeyFrame fallback (Tracking.cc:354-363: motion-model
-        # failure falls back to the reference keyframe BEFORE relocalization)
-        # — lax.cond keeps the matcher+pose-opt off the steady-state path
+        # FAILURE falls back to the reference keyframe BEFORE
+        # relocalization).  The reference's motion-model success criterion
+        # is nmatchesMap >= 10 AFTER the pose optimization (Tracking.cc:926)
+        # — not the pre-opt 20-match retry gate — so the fallback fires only
+        # below 10 inliers, and keeps whichever result tracks better (a
+        # marginal motion result must not be replaced by a worse ref-KF
+        # match).  lax.cond keeps the matcher+pose-opt off the steady path.
         def fb(_):
             r = _ref_kf_body(cfg, m, frame, jnp.maximum(ref_kf, 0), T_pred)
-            return TrackResult(T=r.T, kp_pt=r.kp_pt, n_matches=r.n_matches,
-                               n_inliers=r.n_inliers, ref_kf=r.ref_kf,
-                               n_ref_matches=res1.n_ref_matches)
-        need_fb = (res1.n_inliers < cfg.tracker.min_matches_motion) \
-            & (ref_kf >= 0)
+            better = r.n_inliers > res1.n_inliers
+            out = jax.tree.map(
+                lambda a, b: jnp.where(better, b, a),
+                TrackResult(T=res1.T, kp_pt=res1.kp_pt,
+                            n_matches=res1.n_matches,
+                            n_inliers=res1.n_inliers, ref_kf=res1.ref_kf,
+                            n_ref_matches=res1.n_ref_matches),
+                TrackResult(T=r.T, kp_pt=r.kp_pt, n_matches=r.n_matches,
+                            n_inliers=r.n_inliers, ref_kf=r.ref_kf,
+                            n_ref_matches=res1.n_ref_matches))
+            return out
+        need_fb = (res1.n_inliers < 10) & (ref_kf >= 0)
         res1 = jax.lax.cond(need_fb, fb, lambda _: res1, None)
 
     res2, m = _local_map_body(cfg, m, frame, res1.T, res1.kp_pt)
@@ -377,7 +389,7 @@ class ChunkStep(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
-                carry: ChunkCarry):
+                carry: ChunkCarry, aux_imgs=None):
     """Steady-state tracking of a CHUNK of frames in ONE device dispatch.
 
     The reference decouples its tracker from its mapper with threads
@@ -392,19 +404,44 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
     tracker/mapper asynchrony (new landmarks are picked up on the next chunk
     by TrackLocalMap's whole-map projection).
 
-    Returns (new_carry, per-step outputs, stacked Frames, per-step kp_pt).
-    The System reads back ONE small pytree per chunk; the keyframe frame's
-    data stays on device.
+    `aux_imgs` carries the depth sensor's per-frame data — (C, H, W) depth
+    images for RGB-D, (C, H, W) right images for stereo — so the close-
+    point keyframe policy (bNeedToInsertClose, reference
+    Tracking.cc:1005-1037) evaluates per frame exactly as the reference's,
+    and the flagged keyframe's per-keypoint depth is already on device for
+    insertion (no recompute).
+
+    Returns (new_carry, per-step outputs, stacked Frames, per-step kp_pt,
+    vis/found snapshots, per-step kp_depth).  The System reads back ONE
+    small pytree per chunk; the keyframe frame's data stays on device.
     """
     from coslam_tpu.models.frame import build_frame
+    from coslam_tpu.ops import stereo as stereo_ops
 
     tr = cfg.tracker
+    cam = cfg.camera
     mono = cfg.sensor == "mono"
     ratio_n = tr.ref_ratio_mono if mono else 0.75
     eye = jnp.eye(4, dtype=jnp.float32)
+    N = cfg.extractor.max_keypoints
+    depth_th = (cam.bf / cam.fx) * cam.depth_th_factor if cam.bf > 0 else 8.0
 
-    def step(c: ChunkCarry, img):
+    def step(c: ChunkCarry, xs):
+        img, aux = xs if aux_imgs is not None else (xs, None)
         frame = build_frame(img, cfg)
+        if cfg.sensor == "rgbd":
+            sd = stereo_ops.rgbd_depth(cam, frame.uv, frame.valid, aux)
+            kp_depth = sd.depth
+        elif cfg.sensor == "stereo":
+            from coslam_tpu.ops import orb as orb_ops
+            kpsR = orb_ops.extract(aux, cfg.extractor)
+            kpsL = {"uv": frame.uv, "level": frame.level,
+                    "desc": frame.desc, "valid": frame.valid}
+            sd = stereo_ops.match_stereo(cam, cfg.extractor, cfg.matcher,
+                                         kpsL, kpsR, img, aux)
+            kp_depth = sd.depth
+        else:
+            kp_depth = jnp.zeros(N, jnp.float32)
         T_pred = jnp.where(c.has_vel, c.vel @ c.T, c.T)
         radius = jnp.where(c.has_vel, jnp.float32(15.0), jnp.float32(30.0))
         m_c = m._replace(pt_visible=c.pt_visible, pt_found=c.pt_found)
@@ -418,12 +455,36 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
         # NeedNewKeyFrame (Tracking.cc:979-1063); the synchronous mapper is
         # always "idle", so c1b reduces to the min_frames floor
         n_ref = res.n_ref_matches
-        ratio = jnp.where(m.n_kf < 2, jnp.float32(0.4), jnp.float32(ratio_n))
+        # mono is unconditionally 0.9; the 0.4 single-keyframe override is
+        # depth-sensor-only (reference Tracking.cc:1022-1028)
+        if mono:
+            ratio = jnp.float32(ratio_n)
+            need_close = False
+        else:
+            ratio = jnp.where(m.n_kf < 2, jnp.float32(0.4),
+                              jnp.float32(ratio_n))
+            # bNeedToInsertClose (Tracking.cc:1005-1020): tracked close
+            # points scarce while insertable close points abound
+            close = (kp_depth > 0.05) & (kp_depth < depth_th) & frame.valid
+            tracked_close = (close & (res.kp_pt >= 0)).sum()
+            nontracked_close = (close & (res.kp_pt < 0)).sum()
+            need_close = (tracked_close < 100) & (nontracked_close > 70)
         c1a = fs >= tr.max_frames
         c1b = fs >= tr.min_frames
-        c1c = (not mono) & (res.n_inliers < 0.25 * n_ref)
-        c2 = (res.n_inliers < n_ref * ratio) & (res.n_inliers > 15)
+        c1c = (not mono) & ((res.n_inliers < 0.25 * n_ref) | need_close)
+        c2 = ((res.n_inliers < n_ref * ratio) | need_close) \
+            & (res.n_inliers > 15)
         need = allow_kf & ok & (c1a | c1b | c1c) & c2
+        if mono:
+            # bLocalMappingIdle throttle (Tracking.cc:1041-1059): mono
+            # inserts only when the mapper is idle; model the mapper's
+            # cycle time as a minimum inter-keyframe gap
+            need = need & (fs >= tr.mapper_latency_frames)
+        # the in-chunk gate models the insertion it just flagged: reset the
+        # inter-keyframe counter so subsequent in-chunk flags respect the
+        # throttle (the host inserts at the FIRST flag and splices up to
+        # the next one)
+        fs = jnp.where(need, 0, fs)
 
         c_new = ChunkCarry(
             T=T_new, vel=jnp.where(ok, vel_new, eye),
@@ -438,11 +499,47 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
         # counters at ANY cut index (cut-at-keyframe semantics), keeping
         # MapPointCulling's found/visible ratios per-frame-exact
         return c_new, (out, frame, jnp.where(ok, res.kp_pt, -1),
-                       m2.pt_visible, m2.pt_found)
+                       m2.pt_visible, m2.pt_found, kp_depth)
 
-    carry2, (steps, frames, kp_pts, vis_snap, found_snap) = jax.lax.scan(
-        step, carry, imgs)
-    return carry2, steps, frames, kp_pts, vis_snap, found_snap
+    xs = imgs if aux_imgs is None else (imgs, aux_imgs)
+    carry2, (steps, frames, kp_pts, vis_snap, found_snap, kp_depths) = \
+        jax.lax.scan(step, carry, xs)
+    return carry2, steps, frames, kp_pts, vis_snap, found_snap, kp_depths
+
+
+@jax.jit
+def chain_carry_after_insert(carry_in: ChunkCarry, m2: MapState, T_chunk,
+                             kp_pts, levels, j1, last, kf_i,
+                             fs) -> ChunkCarry:
+    """Build the next chunk's carry after an ASYNC keyframe insert with
+    ZERO host readbacks from the insert.
+
+    The keyframe's windowed local BA shifts the map (its own pose moves
+    from the raw tracked pose T_chunk[j1] to m2.kf_pose[kf_i]); every pose
+    expressed in the pre-insert frame must be right-multiplied by
+    corr = T_raw^-1 @ T_post.  The constant-velocity model is invariant
+    under this global shift ((T_n corr)(T_{n-1} corr)^-1 = T_n T_{n-1}^-1).
+    `last` is the final accepted frame of the chunk; when it IS the
+    keyframe, tracking continues from the keyframe's post-backend
+    observation row (the per-frame handoff, with fresh triangulations);
+    otherwise from the accepted suffix frame's bindings (fused-away
+    landmarks are dropped by the next chunk's pt_valid gate).  This is the
+    device-side analogue of the reference's tracker continuing against the
+    mapper-adjusted map without synchronization (LocalMapping.cc:47 runs
+    while Tracking tracks)."""
+    corr = geo.se3_inverse(T_chunk[j1]) @ m2.kf_pose[kf_i]
+    T = T_chunk[last] @ corr       # == m2.kf_pose[kf_i] when last == j1
+    prev = jnp.where(last > 0, T_chunk[jnp.maximum(last - 1, 0)],
+                     carry_in.T)
+    vel = T_chunk[last] @ geo.se3_inverse(prev)   # pre-shift pair: invariant
+    at_kf = last == j1
+    kp_pt = jnp.where(at_kf, m2.kf_obs_pt[kf_i], kp_pts[last])
+    return ChunkCarry(
+        T=T, vel=vel, has_vel=jnp.asarray(True),
+        kp_pt=kp_pt, level=levels[last],
+        frames_since_kf=jnp.asarray(fs, jnp.int32),
+        ref_kf=jnp.asarray(kf_i, jnp.int32),
+        pt_visible=m2.pt_visible, pt_found=m2.pt_found)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

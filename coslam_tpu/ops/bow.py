@@ -96,9 +96,14 @@ def train_vocabulary_device(desc: jnp.ndarray, valid: jnp.ndarray,
     bits = ((desc[:, :, None] >> shifts[None, None, :]) & 1)
     bits = bits.reshape(n, -1).astype(jnp.bfloat16)           # (n, 256)
     bitsf = jnp.where(valid[:, None], bits, 0)
-    # init: spread word seeds over the valid pool
+    # init: spread word seeds over the VALID pool only — seeding from
+    # invalid (zero) rows wastes vocabulary capacity on words that never
+    # attract members (advisor r3).  Stable-sort the permutation by
+    # validity so valid rows come first, then cycle through them.
     perm = jax.random.permutation(key, n)
-    seed_idx = perm[jnp.arange(n_words) % n]
+    perm = perm[jnp.argsort(~valid[perm], stable=True)]
+    n_valid = jnp.maximum(valid.sum(), 1)
+    seed_idx = perm[jnp.arange(n_words) % n_valid]
     centers = bits[seed_idx].astype(jnp.float32)              # (W, 256)
 
     def body(_, centers):

@@ -34,8 +34,14 @@ from coslam_tpu.ops import fast as fast_ops
 INF_I32 = np.int32(1 << 20)
 
 
+# Set True to force interpret mode even when the default backend is a TPU —
+# needed when a program is deliberately staged for virtual CPU devices on a
+# TPU-attached host (e.g. dryrun_multichip's 8-device CPU mesh fallback).
+FORCE_INTERPRET = False
+
+
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    return FORCE_INTERPRET or jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------

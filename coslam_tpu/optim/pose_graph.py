@@ -161,3 +161,113 @@ def relative_sim3(v: Sim3Vertices, i, j):
     Sj = (v.s[j], v.R[j], v.t[j])
     s, R, t = _compose(*Sj, *_inverse(*Si))
     return Sim3Vertices(s=s, R=R, t=t)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 8))
+def optimize_sparse(v: Sim3Vertices, edges_i, edges_j, meas: Sim3Vertices,
+                    iters: int, edge_valid=None, fixed=None,
+                    lam: float = 1e-6, pcg_iters: int = 64) -> Sim3Vertices:
+    """Gauss-Newton over a SPARSE edge list with a matrix-free
+    block-Jacobi-preconditioned CG solve.
+
+    The dense `optimize` materializes the (7K, 7K) Hessian and solves it
+    directly — O(K^2) memory and O(K^3) work, a wall at K ≈ 2000 (the
+    reference's essential graph is sparse, Optimizer.cc:869-980: spanning
+    tree + covisibility(w>=100) + loop edges, E = O(K)).  Here the normal
+    equations are never materialized: the Hv product gathers the two
+    endpoint blocks per edge, applies the per-edge (7, 7) Jacobian blocks,
+    and scatter-adds — O(E) per CG step, the same matrix-free machinery as
+    optim/ba.py's reduced-camera solve."""
+    K = v.s.shape[0]
+    E = edges_i.shape[0]
+    if edge_valid is None:
+        edge_valid = jnp.ones(E, bool)
+    if fixed is None:
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+    free = ~fixed
+    fm = free.astype(jnp.float32)
+
+    def gn_step(vv, _):
+        Si = (vv.s[edges_i], vv.R[edges_i], vv.t[edges_i])
+        Sj = (vv.s[edges_j], vv.R[edges_j], vv.t[edges_j])
+        z = jnp.zeros(7, jnp.float32)
+
+        def per_edge(si_s, si_R, si_t, sj_s, sj_R, sj_t, m_s, m_R, m_t):
+            Si1 = (si_s, si_R, si_t)
+            Sj1 = (sj_s, sj_R, sj_t)
+            M1 = (m_s, m_R, m_t)
+            r = edge_residual(z, z, Si1, Sj1, M1)
+            Ji = jax.jacfwd(lambda x: edge_residual(x, z, Si1, Sj1, M1))(z)
+            Jj = jax.jacfwd(lambda x: edge_residual(z, x, Si1, Sj1, M1))(z)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(per_edge)(
+            Si[0], Si[1], Si[2], Sj[0], Sj[1], Sj[2],
+            meas.s, meas.R, meas.t)
+        w = edge_valid.astype(jnp.float32)
+        Jiw = Ji * w[:, None, None]
+        Jjw = Jj * w[:, None, None]
+
+        # gradient b = J^T r  (per free vertex)
+        b = jnp.zeros((K, 7), jnp.float32)
+        b = b.at[edges_i].add(_he("eai,ea->ei", Jiw, r))
+        b = b.at[edges_j].add(_he("eai,ea->ei", Jjw, r))
+        b = b * fm[:, None]
+
+        # block-diagonal of H (for the Jacobi preconditioner)
+        D = jnp.zeros((K, 7, 7), jnp.float32)
+        D = D.at[edges_i].add(_he("eai,eaj->eij", Jiw, Ji))
+        D = D.at[edges_j].add(_he("eai,eaj->eij", Jjw, Jj))
+        D = D + (lam + 1e-6) * jnp.eye(7)
+        D = jnp.where(free[:, None, None], D,
+                      jnp.broadcast_to(jnp.eye(7), (K, 7, 7)))
+        D_chol = jax.vmap(jnp.linalg.cholesky)(D)
+
+        def Hv(x):
+            xm = x * fm[:, None]
+            xi = xm[edges_i]
+            xj = xm[edges_j]
+            yi = _he("eia,ea->ei", jnp.swapaxes(Jiw, 1, 2),
+                     _he("eab,eb->ea", Ji, xi) + _he("eab,eb->ea", Jj, xj))
+            yj = _he("eia,ea->ei", jnp.swapaxes(Jjw, 1, 2),
+                     _he("eab,eb->ea", Ji, xi) + _he("eab,eb->ea", Jj, xj))
+            y = jnp.zeros((K, 7), jnp.float32)
+            y = y.at[edges_i].add(yi)
+            y = y.at[edges_j].add(yj)
+            y = y * fm[:, None] + lam * xm
+            # fixed vertices: identity rows keep them pinned at zero update
+            return y + x * (1.0 - fm)[:, None]
+
+        def precond(x):
+            return jax.vmap(lambda c, bb: jax.scipy.linalg.cho_solve(
+                (c, True), bb))(D_chol, x)
+
+        # PCG on H dx = -b
+        x0 = jnp.zeros((K, 7), jnp.float32)
+        r0 = -b - Hv(x0)
+        z0 = precond(r0)
+        p0 = z0
+
+        def cg_body(carry, _):
+            x, rr, zz, p = carry
+            Hp = Hv(p)
+            rz = jnp.sum(rr * zz)
+            alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-20)
+            x = x + alpha * p
+            r_new = rr - alpha * Hp
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+            p_new = z_new + beta * p
+            return (x, r_new, z_new, p_new), None
+
+        (dx, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, p0), None, length=pcg_iters)
+        dx = dx * fm[:, None]
+
+        es, eR, et = _exp(dx)
+        s, R, t = _compose(es, eR, et, vv.s, vv.R, vv.t)
+        R = geo.project_to_so3(R)
+        return Sim3Vertices(s=s, R=R, t=t), None
+
+    v, _ = jax.lax.scan(gn_step, v, None, length=iters)
+    return v

@@ -320,6 +320,9 @@ def solve_partitioned(cam: CameraConfig, prob: ba.BAProblem, mesh: Mesh,
     gidx = np.asarray(per_dev["obs_global_idx"]).reshape(-1)
     inl_flat = np.asarray(inlier_sh).reshape(-1)
     inlier = np.zeros(O, bool)
-    inlier[gidx] = inl_flat
+    # pad slots all carry obs_global_idx 0 and inlier=False — mask them out
+    # so they cannot overwrite observation 0's true flag
+    real = np.asarray(per_dev["obs_valid"]).reshape(-1).astype(bool)
+    inlier[gidx[real]] = inl_flat[real]
     return ba.BAResult(poses=poses, points=points,
                        obs_inlier=jnp.asarray(inlier), cost=cost)

@@ -88,14 +88,26 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     job("track_frame_built", lambda: tracking.track_frame_built.lower(
         cfg, m, frame, kp_pt, level, T, scalar_f,
         ref_kf=scalar_i).compile())
-    # both chunk shapes used by System.run_sequence (small after keyframes,
-    # large in steady state)
-    for C in {max(2, cfg.tracker.chunk_frames // 4),
-              cfg.tracker.chunk_frames}:
-        imgs_c = jax.ShapeDtypeStruct((C, H, W), jnp.uint8)
-        job(f"track_chunk{C}",
-            lambda imgs_c=imgs_c: tracking.track_chunk.lower(
-                cfg, m, imgs_c, True, carry).compile())
+    # the single steady-state chunk shape of System.run_sequence (the
+    # overlapped driver chains the carry across keyframes, so only one
+    # program shape exists) + the device-side carry chaining helper
+    C = cfg.tracker.chunk_frames
+    imgs_c = jax.ShapeDtypeStruct((C, H, W), jnp.uint8)
+    if cfg.sensor == "rgbd":
+        aux_c = jax.ShapeDtypeStruct((C, H, W), jnp.float32)
+    elif cfg.sensor == "stereo":
+        aux_c = jax.ShapeDtypeStruct((C, H, W), jnp.uint8)
+    else:
+        aux_c = None
+    job(f"track_chunk{C}",
+        lambda: tracking.track_chunk.lower(
+            cfg, m, imgs_c, True, carry, aux_c).compile())
+    T_chunk = jax.ShapeDtypeStruct((C, 4, 4), f32)
+    kp_pts_c = jax.ShapeDtypeStruct((C, N), i32)
+    levels_c = jax.ShapeDtypeStruct((C, N), i32)
+    job("chain_carry", lambda: tracking.chain_carry_after_insert.lower(
+        carry, m, T_chunk, kp_pts_c, levels_c, scalar_i, scalar_i,
+        scalar_i, scalar_i).compile())
     if cfg.sensor == "mono":
         job("backend_insert", lambda: lm.backend_insert.lower(
             cfg, m, frame, T, scalar_i, kp_pt, False, None, vocab).compile())

@@ -123,3 +123,52 @@ def test_pose_graph_closes_loop():
     # one loop edge against a K-edge odometry chain: error redistributes
     # rather than vanishing; require a clear reduction
     assert total_err(poses) < 0.85 * total_err(est)
+
+
+def test_sparse_pcg_matches_dense():
+    """optimize_sparse (matrix-free block-Jacobi PCG over an explicit edge
+    list) must reproduce the dense direct solver on the same graph — the
+    scaling path (O(E) per CG step) may not change the answer."""
+    K = 64
+    gt = [np.eye(4, dtype=np.float32)]
+    step = np.asarray(geo.exp_se3(jnp.asarray(
+        [0.25, 0, 0, 0, 0, 2 * np.pi / K], jnp.float32)))
+    for k in range(1, K):
+        gt.append((step @ gt[-1]).astype(np.float32))
+    gt = np.stack(gt)
+    rng = np.random.default_rng(3)
+    est = [gt[0]]
+    for k in range(1, K):
+        rel = gt[k] @ np.linalg.inv(gt[k - 1])
+        noise = np.asarray(geo.exp_se3(jnp.asarray(
+            rng.normal(0, 0.015, 6).astype(np.float32))))
+        est.append((noise @ rel @ est[-1]).astype(np.float32))
+    est = np.stack(est)
+
+    ei = list(range(K - 1)) + [K - 1]
+    ej = list(range(1, K)) + [0]
+    meas_list = []
+    for a, b in zip(ei, ej):
+        if (a, b) == (K - 1, 0):
+            rel = gt[0] @ np.linalg.inv(gt[K - 1])
+        else:
+            rel = est[b] @ np.linalg.inv(est[a])
+        meas_list.append(rel)
+    meas_np = np.stack(meas_list)
+    meas = pose_graph.Sim3Vertices(
+        s=jnp.ones(len(ei), jnp.float32),
+        R=jnp.asarray(meas_np[:, :3, :3]), t=jnp.asarray(meas_np[:, :3, 3]))
+    edges_i = jnp.asarray(ei, jnp.int32)
+    edges_j = jnp.asarray(ej, jnp.int32)
+    v = pose_graph.vertices_from_se3(jnp.asarray(est))
+    fixed = jnp.zeros(K, bool).at[0].set(True)
+
+    dense = pose_graph.optimize(v, edges_i, edges_j, meas, 10, fixed=fixed)
+    sparse = pose_graph.optimize_sparse(v, edges_i, edges_j, meas, 10,
+                                        fixed=fixed, pcg_iters=80)
+    Pd = np.asarray(pose_graph.vertices_to_se3(dense))
+    Ps = np.asarray(pose_graph.vertices_to_se3(sparse))
+    # same optimum up to solver tolerance
+    assert np.abs(Pd[:, :3, 3] - Ps[:, :3, 3]).max() < 5e-3, \
+        np.abs(Pd[:, :3, 3] - Ps[:, :3, 3]).max()
+    assert np.abs(Pd[:, :3, :3] - Ps[:, :3, :3]).max() < 5e-3
