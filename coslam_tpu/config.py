@@ -109,10 +109,14 @@ class TrackerConfig:
     # Monocular insertion in the reference happens ONLY when LocalMapping
     # is idle (Tracking.cc:1041-1059: busy mapper -> InterruptBA + refuse
     # for mono) — its real keyframe throttle is the mapper's cycle time
-    # (~2-4 frames at 30 fps).  The TPU backend is dispatch-synchronous
-    # (always "idle"), so the throttle is modeled explicitly: a mono
-    # keyframe may only be flagged >= this many frames after the last one.
-    mapper_latency_frames: int = 3
+    # (~2-4 frames at a real camera's 20-30 fps).  The TPU backend is
+    # dispatch-synchronous (always "idle"), so the throttle is modeled
+    # explicitly: a mono keyframe may only be flagged >= this many frames
+    # after the last one.  0 = no throttle; the DATASET presets set it to
+    # the real-cadence value (synthetic test scenes compress whole sweeps
+    # into tens of frames, where per-frame motion is many real frames'
+    # worth and a fixed gap would starve the map).
+    mapper_latency_frames: int = 0
     min_inliers_track: int = 30        # TrackLocalMap gate (Tracking.cc:969-973)
     min_inliers_reloc: int = 50
     min_matches_motion: int = 20       # TrackWithMotionModel gate
@@ -224,7 +228,9 @@ def tum_fr1_config(**overrides) -> SystemConfig:
         k1=0.262383, k2=-0.953104, p1=-0.005358, p2=0.002628, k3=1.163314,
         width=640, height=480, fps=30.0,
     )
-    return SystemConfig(camera=cam).replace(**overrides)
+    return SystemConfig(camera=cam,
+                        tracker=TrackerConfig(mapper_latency_frames=3)
+                        ).replace(**overrides)
 
 
 def euroc_config(**overrides) -> SystemConfig:
@@ -234,7 +240,9 @@ def euroc_config(**overrides) -> SystemConfig:
         k1=-0.28340811, k2=0.07395907, p1=0.00019359, p2=1.76187114e-05,
         width=752, height=480, fps=20.0,
     )
-    return SystemConfig(camera=cam).replace(**overrides)
+    return SystemConfig(camera=cam,
+                        tracker=TrackerConfig(mapper_latency_frames=2)
+                        ).replace(**overrides)
 
 
 def kitti_config(**overrides) -> SystemConfig:

@@ -161,6 +161,7 @@ class CoopAgent(System):
         # mirroring the reference's global-MapPoint-id reconstruction)
         self._foreign_pt: Dict[Tuple[int, int], int] = {}
         self._published_kfs = 0
+        self._foreign_agents: set = set()
         self.merged_agents: Dict[int, bool] = {}
         # per-agent world alignment (s, R, t): x_local = s R x_sender + t
         self._agent_sim3: Dict[int, Tuple[float, np.ndarray, np.ndarray]] = {}
@@ -174,6 +175,7 @@ class CoopAgent(System):
             self.kf_agent[k] = self.agent_id
         self.pt_agent[np.asarray(self.map.pt_valid) & (self.pt_agent < 0)] = \
             self.agent_id
+        self._merge_retry()
         return kf_i
 
     def _note_inserted_keyframes(self, first_kf: int, count: int):
@@ -181,6 +183,7 @@ class CoopAgent(System):
         self.kf_agent[first_kf: first_kf + count] = self.agent_id
         self.pt_agent[np.asarray(self.map.pt_valid) & (self.pt_agent < 0)] \
             = self.agent_id
+        self._merge_retry()
 
     def _try_initialize(self, frame, frame_id):
         super()._try_initialize(frame, frame_id)
@@ -242,11 +245,44 @@ class CoopAgent(System):
 
     # -- receiver ----------------------------------------------------------
     def receive_packet(self, pkt: KeyFramePacket) -> bool:
-        """Wire-reconstruct a foreign keyframe into the local map
-        (reference CreateNewKeyFrame(id) path, ros_mono.cc:2108-2192), then
-        attempt cross-agent alignment.  Returns True if a merge happened."""
+        """Handle a wire keyframe (reference CreateNewKeyFrame(id) path,
+        ros_mono.cc:2108-2192).  Keyframes from a NOT-YET-ALIGNED sender
+        integrate WITHOUT the cross-map backend pass — their sub-map lives
+        in the sender's unrelated world frame, and running fusing/local BA
+        across the components there would cross-bind them and corrupt the
+        local map (the reference's staging map Map_KFV keeps received data
+        apart the same way, ros_mono.cc:178,540).  Alignment is attempted
+        on every received packet and re-attempted whenever the OWN map
+        grows (_merge_retry).  Returns True on an alignment/closure
+        event."""
         if self.state != "OK":
             return False
+        self._foreign_agents.add(pkt.agent_id)
+        merged = self.merged_agents.get(pkt.agent_id, False)
+        k = self._integrate_packet(pkt, full_backend=merged)
+        if not merged:
+            return self._try_merge(k, pkt.agent_id)
+        # keep cross-agent place recognition ALIVE — later drift between
+        # the sub-maps is re-corrected continuously (the reference gets
+        # this from its LoopClosing thread, which keeps detecting loops
+        # between the local and received sub-maps, SURVEY section 3.5):
+        #   1. the standard loop-closing path (essential graph + GBA) when
+        #      the receiver runs with loop closing enabled;
+        #   2. cross-agent RE-ALIGNMENT: a verified residual Sim3 snaps the
+        #      whole foreign component back and folds into the stored
+        #      alignment so FUTURE packets arrive pre-corrected.
+        if self.loop_closer is not None:
+            m, closed = self.loop_closer.on_keyframe(self.map, k)
+            self.map = m
+            if closed:
+                self.n_merges += 1
+                return True
+        return self._try_realign(k, pkt.agent_id)
+
+    def _integrate_packet(self, pkt: KeyFramePacket,
+                          full_backend: bool = True) -> int:
+        """Wire-reconstruct a foreign keyframe into the local map; returns
+        its keyframe slot."""
         self._ensure_capacity()   # recycle/grow slots like local insertion
         m = self.map
         # if this agent's frame is already aligned, transform the packet
@@ -301,45 +337,124 @@ class CoopAgent(System):
         self.db.add(k, frame.desc, frame.valid)
         self.db.maybe_retrain(m)
 
-        # the foreign keyframe gets the FULL backend treatment, exactly like
-        # a local one (reference hands wire-reconstructed KFs to LocalMapping
-        # at ros_mono.cc:2163 -> CreateNewMapPoints among received keyframes
-        # LocalMapping.cc:207, SearchInNeighbors :454, local BA, culling).
-        # Pre-merge this densifies the foreign sub-map in its own frame
-        # (covisibility keeps the windows within the sub-map); post-merge it
-        # integrates across agents.
-        m = lm.backend_post_insert(self.cfg, m, jnp.asarray(k))
+        # an ALIGNED foreign keyframe gets the full backend treatment,
+        # exactly like a local one (reference hands wire-reconstructed KFs
+        # to LocalMapping at ros_mono.cc:2163 -> CreateNewMapPoints among
+        # received keyframes LocalMapping.cc:207, SearchInNeighbors :454,
+        # local BA, culling).  Pre-merge keyframes stay RAW wire
+        # reconstructions: their sub-map is in the sender's unrelated world
+        # frame, where both whole-map fusing (cross-binds the components)
+        # and even intra-component local BA (shifts the sub-map off its
+        # wire poses before the Sim3 is estimated) degrade the eventual
+        # merge; the backend pass runs for them after alignment
+        # (_try_merge's sweep).
+        if full_backend:
+            m = lm.backend_post_insert(self.cfg, m, jnp.asarray(k))
         self.map = m
         self._kf_pose_dirty = True
         self._host_n_pt = int(np.asarray(m.n_pt))
         # new triangulated points belong to the sub-map of their keyframe
         self.pt_agent[np.asarray(self.map.pt_valid)
                       & (self.pt_agent < 0)] = pkt.agent_id
-
-        if not self.merged_agents.get(pkt.agent_id):
-            return self._try_merge(k, pkt.agent_id)
-        # already aligned: keep cross-agent place recognition ALIVE — later
-        # drift between the sub-maps is re-corrected continuously (the
-        # reference gets this from its LoopClosing thread, which keeps
-        # detecting loops between the local and received sub-maps,
-        # SURVEY section 3.5).  Two mechanisms:
-        #   1. the standard loop-closing path (essential graph + GBA) when
-        #      the receiver runs with loop closing enabled;
-        #   2. cross-agent RE-ALIGNMENT: whenever the foreign keyframe
-        #      place-recognizes against OWN keyframes, verify a residual
-        #      Sim3 and fold it into the stored per-agent alignment, so the
-        #      whole foreign component snaps back and FUTURE packets arrive
-        #      pre-corrected.  Without this, the sender's internal drift
-        #      accumulates through the frozen first-merge Sim3.
-        if self.loop_closer is not None:
-            m, closed = self.loop_closer.on_keyframe(self.map, k)
-            self.map = m
-            if closed:
-                self.n_merges += 1
-                return True
-        return self._try_realign(k, pkt.agent_id)
+        return k
 
     # -- cross-agent alignment --------------------------------------------
+    def _merge_retry(self):
+        """Re-attempt the first alignment of a still-unmerged foreign
+        sub-map whenever the OWN map grows (reference: LoopClosing keeps
+        checking every inserted keyframe against the database, so a foreign
+        keyframe that arrived before the local map covered the overlap
+        merges as soon as coverage appears, LoopClosing.cc:57-101).  The
+        retried keyframes are the foreign ones scoring highest against the
+        own map in the BoW database."""
+        for aid in list(self._foreign_agents):
+            if self.merged_agents.get(aid):
+                continue
+            K = self.db.bows.shape[0]
+            valid = np.asarray(self.map.kf_valid)[:K]
+            fore = np.nonzero((self.kf_agent[:K] == aid) & valid
+                              & self.db.has)[0]
+            own = (self.kf_agent[:K] == self.agent_id) & valid & self.db.has
+            if len(fore) == 0 or own.sum() < 2:
+                continue
+            best = []
+            for k in fore:
+                scores = self.db.scores_against_all(int(k))
+                s = float(np.where(own, scores, -1.0).max())
+                best.append((s, int(k)))
+            best.sort(reverse=True)
+            for s, k in best[:2]:
+                if s <= 0.02:
+                    break
+                if self._try_merge(k, aid):
+                    break
+
+    def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
+        """First cross-agent alignment: on a verified Sim3, the foreign
+        component is similarity-transformed into the local frame, duplicate
+        landmarks fuse, and the alignment is stored so later packets arrive
+        pre-transformed."""
+        found = self._find_cross_sim3(foreign_kf)
+        if found is None:
+            return False
+        S_w, pt1, pt2, pairs = found
+        self._apply_cross_sim3(agent_id, S_w, pt1, pt2, pairs, ba_iters=5)
+        self.merged_agents[agent_id] = True
+        self._agent_sim3[agent_id] = (
+            float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))
+        self.n_merges += 1
+        # the pre-merge foreign keyframes skipped the backend pass; now
+        # that the component sits in the local frame, give the merge
+        # keyframe the full treatment (triangulation/fusion across agents)
+        self.map = lm.backend_post_insert(self.cfg, self.map,
+                                          jnp.asarray(foreign_kf))
+        self._host_n_pt = int(np.asarray(self.map.n_pt))
+        self.pt_agent[np.asarray(self.map.pt_valid)
+                      & (self.pt_agent < 0)] = agent_id
+        # residual-drift sweep: when many foreign keyframes were already
+        # integrated before alignment succeeded (late merge), re-verify the
+        # strongest other cross-agent pairs and fold their residual Sim3s
+        # in — each verified residual fuses more duplicates and re-optimizes
+        # jointly (the reference's LoopClosing would keep closing these as
+        # separate loop events over the following keyframes)
+        K = self.db.bows.shape[0]
+        valid = np.asarray(self.map.kf_valid)[:K]
+        own = (self.kf_agent[:K] == self.agent_id) & valid & self.db.has
+        fore = np.nonzero((self.kf_agent[:K] == agent_id) & valid
+                          & self.db.has)[0]
+        scored = []
+        for k in fore:
+            if int(k) == int(foreign_kf):
+                continue
+            s = float(np.where(own, self.db.scores_against_all(int(k)),
+                               -1.0).max())
+            scored.append((s, int(k)))
+        scored.sort(reverse=True)
+        for s, k in scored[:3]:
+            if s <= 0.02:
+                break
+            # give the aligned foreign keyframe the backend pass it skipped
+            # pre-merge (cross-agent fuse + triangulation + local BA), THEN
+            # re-verify its residual Sim3 — the added cross-agent
+            # observations both strengthen the verification and let the
+            # joint optimization actually pull the components together
+            self.map = lm.backend_post_insert(self.cfg, self.map,
+                                              jnp.asarray(int(k)))
+            self._host_n_pt = int(np.asarray(self.map.n_pt))
+            self.pt_agent[np.asarray(self.map.pt_valid)
+                          & (self.pt_agent < 0)] = agent_id
+            self._kf_pose_dirty = True
+            self._try_realign(k, agent_id)
+        # one joint optimization over the merged map with the sweep's
+        # cross-agent observations in place (the reference's post-loop GBA,
+        # LoopClosing.cc:645) — realign events run their own BA only when
+        # their residual verifies, but the added observations help even
+        # when no residual does
+        if scored:
+            self.map = lc.global_ba(self.cfg, self.map, iters=8)
+            self._kf_pose_dirty = True
+        return True
+
     def _find_cross_sim3(self, foreign_kf: int):
         """Place-recognize `foreign_kf` against OWN keyframes via the BoW
         database (the reference's KeyFrameDatabase feeding
@@ -408,22 +523,6 @@ class CoopAgent(System):
         m = lc.global_ba(cfg, m, iters=ba_iters)
         self.map = m
         self._kf_pose_dirty = True
-
-    def _try_merge(self, foreign_kf: int, agent_id: int) -> bool:
-        """First cross-agent alignment: on a verified Sim3, the foreign
-        component is similarity-transformed into the local frame, duplicate
-        landmarks fuse, and the alignment is stored so later packets arrive
-        pre-transformed."""
-        found = self._find_cross_sim3(foreign_kf)
-        if found is None:
-            return False
-        S_w, pt1, pt2, pairs = found
-        self._apply_cross_sim3(agent_id, S_w, pt1, pt2, pairs, ba_iters=5)
-        self.merged_agents[agent_id] = True
-        self._agent_sim3[agent_id] = (
-            float(S_w["s"]), np.asarray(S_w["R"]), np.asarray(S_w["t"]))
-        self.n_merges += 1
-        return True
 
     def _try_realign(self, foreign_kf: int, agent_id: int) -> bool:
         """Continued cross-agent correction (the reference's LoopClosing

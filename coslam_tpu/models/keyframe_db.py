@@ -125,13 +125,19 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
     def scores_against_all(self, kf_id: int) -> np.ndarray:
         """tf-idf-weighted L1 similarity of `kf_id` vs every stored KF."""
+        return self.scores_for_bow(self.bows[kf_id])
+
+    def scores_for_bow(self, row: np.ndarray) -> np.ndarray:
+        """tf-idf-weighted L1 similarity of an EXTERNAL BoW row (e.g. a
+        wire keyframe packet not yet in the map) vs every stored KF."""
         n = max(int(self.has.sum()), 1)
         df = (self.bows > 0).sum(0)
         idf = np.log(n / (1.0 + df)).clip(min=0.0)
         w = self.bows * idf[None]
         norm = np.abs(w).sum(1, keepdims=True)
         w = w / np.maximum(norm, 1e-9)
-        q = w[kf_id]
+        q = row * idf
+        q = q / max(np.abs(q).sum(), 1e-9)
         return 1.0 - 0.5 * np.abs(w - q[None]).sum(1)
 
     # ------------------------------------------------------------------

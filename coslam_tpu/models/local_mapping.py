@@ -657,15 +657,23 @@ def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
     )
 
 
-def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
+def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k,
+                      cross_fuse: bool = True) -> ms.MapState:
     """The LocalMapping::Run iteration after a keyframe lands in slot k
     (reference LocalMapping.cc:37-94: CreateNewMapPoints, SearchInNeighbors,
-    MapPointCulling, local BA, KeyFrameCulling)."""
+    MapPointCulling, local BA, KeyFrameCulling).
+
+    `cross_fuse=False` skips the whole-map projection fuse — used for
+    foreign keyframes whose sub-map is NOT yet Sim3-aligned with the local
+    one: projecting unrelated-world landmarks into them produces
+    descriptor-plausible but geometrically-nonsense cross-bindings.  The
+    remaining steps stay within the keyframe's covisible component."""
     # bind the keyframe's free keypoints to EXISTING landmarks before
     # triangulating new ones: when insertion lags tracking (chunked driver),
     # the tracked bindings miss landmarks created since the chunk started,
     # and triangulating first would duplicate them at tiny baselines
-    m = fuse_map_into_keyframe(cfg, m, k)
+    if cross_fuse:
+        m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
     m = local_ba_body(cfg, m, k, iters=4)
@@ -712,11 +720,13 @@ def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
     return m, k, aux
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def backend_post_insert(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def backend_post_insert(cfg: SystemConfig, m: ms.MapState, k,
+                        cross_fuse: bool = True) -> ms.MapState:
     """Standalone fused backend pass for a keyframe already in the map —
     used for wire-reconstructed FOREIGN keyframes, which must receive the
     same treatment as local ones (reference hands received keyframes to
     LocalMapping at ros_mono.cc:2163: triangulation among received KFs,
-    fusion, local BA, culling)."""
-    return _post_insert_body(cfg, m, k)
+    fusion, local BA, culling).  `cross_fuse=False` for keyframes of a
+    not-yet-aligned foreign sub-map (see _post_insert_body)."""
+    return _post_insert_body(cfg, m, k, cross_fuse)

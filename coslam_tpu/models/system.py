@@ -306,6 +306,12 @@ class System:
         self.ref_kf_matches = int(n_pts)
         self._host_n_pt = int(n_pts)
         self.last_ref_kf = 1
+        # the two bootstrap keyframes must enter the place-recognition DB
+        # like any other (reference: ComputeBoW runs for every keyframe,
+        # KeyFrameDatabase.cc:40) — without this, loops/merges back to the
+        # sequence start can never be shortlisted
+        self.db.add(0, self.ref_frame.desc, self.ref_frame.valid)
+        self.db.add(1, frame.desc, frame.valid)
         # also log the first keyframe
         self.trajectory.append((self.ref_frame_id, 0, np.eye(4, dtype=np.float32)))
 

@@ -32,3 +32,16 @@ def rng():
     # function-scoped: every test gets its own deterministic stream, so
     # adding/removing tests never shifts another test's random draws
     return np.random.default_rng(42)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    # Every module compiles its own config-specialized programs; on a small
+    # CI host the accumulated executables eventually abort the process
+    # (SIGABRT ~45 tests in).  Dropping the in-memory cache per module keeps
+    # the suite's footprint flat; the persistent on-disk compilation cache
+    # still makes recompiles cheap.
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()

@@ -162,9 +162,12 @@ def test_long_run_bounded_memory():
     tracked = sum(1 for s in slam.stats if not s.get("lost"))
     assert tracked > 0.85 * len(slam.stats), \
         f"only {tracked}/{len(slam.stats)} frames tracked"
-    # capacities stayed bounded: growth is geometric, so after 8 identical
-    # laps the map must fit in a small multiple of the initial capacity
-    assert slam.cfg.mapper.max_keyframes <= 24 * 4
+    # capacities stayed bounded: growth is geometric and must PLATEAU —
+    # after 8 identical laps the map fits a small multiple of the initial
+    # capacity.  (8x, not 4x: fuse no longer double-binds a landmark to two
+    # keypoints of one keyframe, so observation counts are no longer
+    # inflated and the keyframe-culling equilibrium sits higher.)
+    assert slam.cfg.mapper.max_keyframes <= 24 * 8
     assert slam.cfg.mapper.max_points <= 2048 * 4
     # flat cost: the second half must not be dramatically slower (an O(K^2)
     # or leak-like blowup would at least double it)
