@@ -229,7 +229,7 @@ def tum_fr1_config(**overrides) -> SystemConfig:
         width=640, height=480, fps=30.0,
     )
     return SystemConfig(camera=cam,
-                        tracker=TrackerConfig(mapper_latency_frames=3)
+                        tracker=TrackerConfig(mapper_latency_frames=5)
                         ).replace(**overrides)
 
 
@@ -241,7 +241,7 @@ def euroc_config(**overrides) -> SystemConfig:
         width=752, height=480, fps=20.0,
     )
     return SystemConfig(camera=cam,
-                        tracker=TrackerConfig(mapper_latency_frames=2)
+                        tracker=TrackerConfig(mapper_latency_frames=3)
                         ).replace(**overrides)
 
 

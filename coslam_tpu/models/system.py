@@ -493,9 +493,9 @@ class System:
                     ref_kf=jnp.asarray(self.last_ref_kf, jnp.int32),
                     pt_visible=self.map.pt_visible,
                     pt_found=self.map.pt_found)
-            # poses the chunk tracks against — snapshot BEFORE deferred loop
-            # closing can move them
-            kf_pose_snap = self._kf_pose_np()
+            # device REFERENCE to the poses this chunk tracks against (zero
+            # cost; only the rare correction paths materialize slices)
+            kf_pose_dev_snap = self.map.kf_pose
             carry2, steps, frames, kp_pts, vis_snap, found_snap, kp_depths \
                 = tracking.track_chunk(self.cfg, self.map, imgs,
                                        not self.localization_only, carry,
@@ -536,7 +536,8 @@ class System:
                 if map_moved and self.last_ref_kf >= 0:
                     r = self.last_ref_kf
                     self.last_T = (self.last_T
-                                   @ np.linalg.inv(kf_pose_snap[r])
+                                   @ np.linalg.inv(
+                                       np.asarray(kf_pose_dev_snap[r]))
                                    @ self._kf_pose_np()[r]).astype(np.float32)
                     self.velocity = None
                 track_one(i)
@@ -564,9 +565,10 @@ class System:
 
             for j in range(n_acc):
                 self._note_frame(fid(i + j), ts(i + j))
-                ref_kf = int(out.ref_kf[j])
-                T_rel = out.T[j] @ np.linalg.inv(kf_pose_snap[ref_kf])
-                self.trajectory.append((fid(i + j), ref_kf, T_rel))
+                # anchor computed ON DEVICE against the chunk's own pose
+                # table (ChunkStep.T_rel) — no host pose sync per chunk
+                self.trajectory.append((fid(i + j), int(out.ref_kf[j]),
+                                        out.T_rel[j]))
                 self.stats.append({"frame": fid(i + j),
                                    "inliers": int(out.n_inliers[j]),
                                    "lost": False})
@@ -586,9 +588,8 @@ class System:
                     else carry2.pt_visible,
                     pt_found=found_snap[last] if n_acc < C
                     else carry2.pt_found)
-                T_rel = out.T[last] @ np.linalg.inv(kf_pose_snap[ref])
-                self.last_T = (T_rel @ self._kf_pose_np()[ref]).astype(
-                    np.float32)
+                self.last_T = (out.T_rel[last]
+                               @ self._kf_pose_np()[ref]).astype(np.float32)
                 self.velocity = None
                 self.last_kp_pt = kp_pts[last] if n_acc < C else carry2.kp_pt
                 self.last_level = frames.level[last] if n_acc < C \

@@ -380,6 +380,10 @@ class ChunkStep(NamedTuple):
     """Per-frame outputs of a chunk (small; ONE bundled host transfer per
     chunk replaces per-frame scalar readbacks)."""
     T: jnp.ndarray            # (C, 4, 4)
+    # trajectory anchor T @ kf_pose[ref_kf]^-1, computed ON DEVICE against
+    # the poses this chunk actually tracked — spares the host a per-chunk
+    # sync of the whole keyframe pose table (46 ms RTT on a remote chip)
+    T_rel: jnp.ndarray        # (C, 4, 4)
     n_inliers: jnp.ndarray    # (C,) i32
     ref_kf: jnp.ndarray       # (C,) i32
     n_ref_matches: jnp.ndarray  # (C,) i32
@@ -493,7 +497,10 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
             level=frame.level, frames_since_kf=fs,
             ref_kf=jnp.where(ok, res.ref_kf, c.ref_kf).astype(jnp.int32),
             pt_visible=m2.pt_visible, pt_found=m2.pt_found)
-        out = ChunkStep(T=T_new, n_inliers=res.n_inliers, ref_kf=res.ref_kf,
+        T_rel = T_new @ geo.se3_inverse(
+            m.kf_pose[jnp.clip(res.ref_kf, 0, m.kf_pose.shape[0] - 1)])
+        out = ChunkStep(T=T_new, T_rel=T_rel, n_inliers=res.n_inliers,
+                        ref_kf=res.ref_kf,
                         n_ref_matches=n_ref, need_kf=need, ok=ok)
         # per-step visibility-stat snapshots let the host restore the map's
         # counters at ANY cut index (cut-at-keyframe semantics), keeping
