@@ -43,7 +43,9 @@ def bench_hot_path():
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import entry
-    from coslam_tpu.config import CameraConfig
+    from coslam_tpu.config import CameraConfig, SystemConfig
+    from coslam_tpu.models.frame import build_frame
+    from coslam_tpu.ops import matching
     from coslam_tpu.utils import synthetic
 
     fn, example_args = entry()
@@ -75,13 +77,50 @@ def bench_hot_path():
     except Exception:
         pass
 
-    best = np.inf
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(batched(imgs))
-        best = min(best, time.perf_counter() - t0)
+    def timeit(g, *a):
+        jax.block_until_ready(g(*a))
+        best = np.inf
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(g(*a))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    best = timeit(batched, imgs)
     fps = B / best
-    return fps, flops_per_frame
+
+    # per-stage attribution (nested prefixes of the same pipeline, each a
+    # scan over the B-frame batch): extraction alone, then + windowed
+    # matching, then the full step (+ motion-only BA).  The differences
+    # give the marginal cost of each stage.  MFU context: the extractor and
+    # Hamming matcher are integer/VPU work that XLA's flop counter scores
+    # as ~zero, so hot-path "MFU" against the f32 MXU peak is a lower bound
+    # dominated by the pose optimizer's small dense algebra — the honest
+    # roofline for this pipeline is HBM/VPU-bound, not MXU-bound.
+    cfg_e = SystemConfig(camera=cam)
+    prev_desc, prev_uv, prev_valid = args[1], args[0], args[2]
+
+    def ex_step(c, img):
+        f = build_frame(img, cfg_e)
+        return c, f.valid.sum()
+
+    def em_step(c, img):
+        f = build_frame(img, cfg_e)
+        mm = matching.match_windowed(
+            prev_desc, prev_uv, 20.0, prev_valid, f.desc, f.uv, f.valid,
+            cfg_e.matcher, max_dist=cfg_e.matcher.th_high, mutual=True)
+        return c, mm.valid.sum()
+
+    t_ex = timeit(jax.jit(
+        lambda ims: jax.lax.scan(ex_step, 0, ims)[1]), imgs)
+    t_em = timeit(jax.jit(
+        lambda ims: jax.lax.scan(em_step, 0, ims)[1]), imgs)
+    stages = {
+        "extract_ms": round(t_ex / B * 1e3, 3),
+        "match_ms": round(max(t_em - t_ex, 0.0) / B * 1e3, 3),
+        "pose_opt_ms": round(max(best - t_em, 0.0) / B * 1e3, 3),
+    }
+    return fps, flops_per_frame, stages
 
 
 def bench_full_system(n_frames: int = 120):
@@ -139,7 +178,7 @@ def bench_full_system(n_frames: int = 120):
 
 
 def main():
-    hot_fps, flops_per_frame = bench_hot_path()
+    hot_fps, flops_per_frame, stages = bench_hot_path()
     sys_fps, n_kf, lost = bench_full_system()
 
     import jax
@@ -158,6 +197,7 @@ def main():
         "hot_path_mfu_pct": round(mfu, 3) if mfu is not None else None,
         "hot_path_gflops_per_frame": (round(flops_per_frame / 1e9, 3)
                                       if flops_per_frame else None),
+        "hot_path_stage_ms": stages,
         "keyframes_in_run": n_kf,
         "lost_frames": lost,
         "device": kind,

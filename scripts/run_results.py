@@ -48,9 +48,16 @@ def run_one(spec, datasets_dir, out_dir):
     if spec["dataset"] == "kitti":
         cmd += ["--seq", "00"]
     env = dict(os.environ)
-    # keep the ambient interpreter path (sitecustomize registers the TPU
-    # plugin); prepend the repo so `coslam_tpu` imports from source
+    # prepend the repo so `coslam_tpu` imports from source.  Overriding
+    # PYTHONPATH breaks the ambient remote-TPU plugin registration
+    # (sitecustomize), so pin the subprocess to the CPU backend — the
+    # dataset path is a correctness run, not a perf run
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True, cwd=ROOT,
                        timeout=3600, env=env)
