@@ -109,7 +109,7 @@ def fast_score_nms(img: jnp.ndarray) -> jnp.ndarray:
     out = pl.pallas_call(
         _fast_kernel,
         grid=(hp // _BH,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_BH, wp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
