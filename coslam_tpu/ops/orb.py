@@ -33,6 +33,7 @@ import numpy as np
 
 from coslam_tpu.config import ExtractorConfig
 from coslam_tpu.ops import fast as fast_ops
+from coslam_tpu.ops import pallas_kernels as pk
 from coslam_tpu.ops import pyramid as pyr_ops
 
 PATCH_RADIUS = 15  # reference HALF_PATCH_SIZE (ORBextractor.cc:73)
@@ -211,27 +212,50 @@ def _patch_matrices():
 def extract_patches(img, yx, patch: int = RAW_PATCH):
     """(H, W) image + (K, 2) int yx centers -> (K, patch*patch) float32.
 
-    Contiguous dynamic-slice loads; centers are clamped so the patch stays
-    in bounds (selection already enforces an edge_threshold margin)."""
+    TPUs have no fast random gather: a vmapped (patch, patch)
+    dynamic_slice lowers to an XLA gather costing ~1.7 ms/frame at K=1024.
+    Instead: gather whole ROWS (a major-axis row gather, which XLA handles
+    well) into (K, patch, W) strips, then select each strip's `patch`
+    columns with a per-keypoint one-hot matrix on the MXU — 4x faster
+    measured, bit-exact (one-hot bf16 products preserve 0-255 values)."""
     half = patch // 2
     h, w = img.shape
     y0 = jnp.clip(yx[:, 0] - half, 0, h - patch)
     x0 = jnp.clip(yx[:, 1] - half, 0, w - patch)
+    k = yx.shape[0]
 
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (patch, patch))
-
-    return jax.vmap(one)(y0, x0).reshape(yx.shape[0], -1)
+    rows = jnp.take(img.astype(jnp.bfloat16),
+                    (y0[:, None] + np.arange(patch)[None, :]).reshape(-1),
+                    axis=0).reshape(k, patch, w)
+    colsel = jax.nn.one_hot(x0[:, None] + np.arange(patch)[None, :], w,
+                            dtype=jnp.bfloat16, axis=1)        # (K, W, patch)
+    out = jax.lax.dot_general(rows, colsel, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out.reshape(k, -1)
 
 
 def _descriptors_from_patches(patches, valid):
-    """(K, 1521) raw patches -> (angle (K,), packed desc (K, 8) uint32)."""
+    """(K, 1521) raw patches -> (angle (K,), packed desc (K, 8) uint32).
+
+    The two big contractions run in bf16 on the MXU (f32 accumulation):
+    patch values are 0-255 integers (exact in bf16); weight rounding
+    perturbs blurred intensities by ~0.3%, which can only flip BRIEF bits
+    whose sample pair is a near-tie — matching behavior is unaffected and
+    the vocabulary is trained on these descriptors.  bf16 doubles MXU
+    throughput on the 20 GFLOP/frame that dominates the hot path.
+    """
     w_moment, w_blur, w_bits = _patch_matrices()  # np: HLO literals
     mom = jnp.dot(patches, w_moment, preferred_element_type=jnp.float32)
     angle = jnp.arctan2(mom[:, 1], mom[:, 0])
 
-    blurred = jnp.dot(patches, w_blur, preferred_element_type=jnp.float32)
-    diffs = jnp.dot(blurred, w_bits, preferred_element_type=jnp.float32)
+    pb = patches.astype(jnp.bfloat16)
+    blurred = jnp.dot(pb, w_blur.astype(np.dtype(jnp.bfloat16)),
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.DEFAULT)
+    diffs = jnp.dot(blurred.astype(jnp.bfloat16),
+                    w_bits.astype(np.dtype(jnp.bfloat16)),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
     bits_all = (diffs > 0).reshape(-1, N_ROT_BINS, DESC_WORDS, 32)
 
     shifts = np.arange(32, dtype=np.uint32)  # np: folds to an HLO literal
@@ -295,13 +319,12 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig) -> Dict[str, jnp.ndarray]:
     levels = pyr_ops.build_pyramid(img, cfg)
     N = cfg.max_keypoints
 
-    uv = jnp.zeros((N, 2), jnp.float32)
-    response = jnp.zeros((N,), jnp.float32)
-    angle = jnp.zeros((N,), jnp.float32)
-    level = jnp.zeros((N,), jnp.int32)
-    valid = jnp.zeros((N,), bool)
-    desc = jnp.zeros((N, DESC_WORDS), jnp.uint32)
-
+    # Per-level: score + spatially-capped top-k selection + raw patch loads.
+    # The descriptor matmuls are deliberately NOT per level — all levels'
+    # patches concatenate into one (N, 1521) operand so the 20 GFLOP
+    # blur/BRIEF contraction runs as a single large MXU matmul instead of 8
+    # small padded ones (measured ~2x on the hot path).
+    uv_l, resp_l, lvl_l, ok_l, patch_l = [], [], [], [], []
     offset = 0
     for lvl, (img_l, budget) in enumerate(zip(levels, budgets)):
         if budget == 0 or offset >= N:
@@ -309,29 +332,44 @@ def extract(img: jnp.ndarray, cfg: ExtractorConfig) -> Dict[str, jnp.ndarray]:
         budget = min(budget, N - offset)
         h, w = img_l.shape
         margin = cfg.edge_threshold
-        # NOTE: measured on real TPU — the XLA whole-image formulation
-        # (fused rolls + reduce_window) beats routing through the Pallas
-        # fast_score_nms kernel here (43.3k vs 22.7k frames/s end-to-end):
-        # pallas_call breaks XLA's pyramid/score fusion and pays per-level
-        # padding.  The Pallas kernel stays available (ops/pallas_kernels)
-        # for standalone full-frame scoring.
-        score = fast_ops.nms3(fast_ops.fast_score(img_l))
+        # On a real TPU the fused Pallas score+NMS kernel is ~4x the XLA
+        # whole-image formulation (0.11 vs 0.43 ms/frame across the pyramid,
+        # fetch-forced timing; earlier measurements claiming the opposite
+        # were an artifact of block_until_ready not syncing on the remote
+        # backend).  Its only divergence from nms3(fast_score(.)) is within
+        # HALO=4 px of the left/right image edge (rolls wrap), which the
+        # edge_threshold border mask (>= 16 px) zeroes anyway.  Off-TPU the
+        # kernel would run in interpret mode — use the XLA path there.
+        if jax.default_backend() == "tpu" and not pk.FORCE_INTERPRET:
+            score = pk.fast_score_nms(img_l)
+        else:
+            score = fast_ops.nms3(fast_ops.fast_score(img_l))
         score = score * fast_ops.border_mask(h, w, margin)
         yx, resp, ok = _select_level_keypoints(
             score, budget, cfg.cell_size, float(cfg.fast_min_threshold))
 
-        patches = extract_patches(img_l, yx)
-        ang, d = _descriptors_from_patches(patches, ok)
-
         scale = cfg.scale_factor ** lvl
-        sl = slice(offset, offset + budget)
-        uv = uv.at[sl].set(yx[:, ::-1].astype(jnp.float32) * scale)
-        response = response.at[sl].set(resp)
-        angle = angle.at[sl].set(ang)
-        level = level.at[sl].set(lvl)
-        valid = valid.at[sl].set(ok)
-        desc = desc.at[sl].set(d)
+        uv_l.append(yx[:, ::-1].astype(jnp.float32) * scale)
+        resp_l.append(resp)
+        lvl_l.append(jnp.full((budget,), lvl, jnp.int32))
+        ok_l.append(ok)
+        patch_l.append(extract_patches(img_l, yx))
         offset += budget
+
+    valid = jnp.concatenate(ok_l)
+    angle, desc = _descriptors_from_patches(jnp.concatenate(patch_l), valid)
+    uv = jnp.concatenate(uv_l)
+    response = jnp.concatenate(resp_l)
+    level = jnp.concatenate(lvl_l)
+
+    if offset < N:
+        pad = N - offset
+        uv = jnp.concatenate([uv, jnp.zeros((pad, 2), jnp.float32)])
+        response = jnp.concatenate([response, jnp.zeros((pad,), jnp.float32)])
+        angle = jnp.concatenate([angle, jnp.zeros((pad,), jnp.float32)])
+        level = jnp.concatenate([level, jnp.zeros((pad,), jnp.int32)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), bool)])
+        desc = jnp.concatenate([desc, jnp.zeros((pad, DESC_WORDS), jnp.uint32)])
 
     return {"uv": uv, "response": response, "angle": angle,
             "level": level, "valid": valid, "desc": desc}
