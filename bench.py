@@ -143,12 +143,10 @@ def bench_full_system(n_frames: int = 120):
         extractor=cfg_mod.ExtractorConfig(n_features=1000,
                                           max_keypoints=1024),
         # real-camera keyframe cadence: the reference's mono tracker only
-        # inserts when its mapper is idle (Tracking.cc:1041-1059); our
-        # measured backend cycle is ~150 ms = ~5 frame periods at 30 fps,
-        # so the idle model refuses mono inserts for 5 frames after one —
-        # exactly the busy window the reference's mapper would impose under
-        # the same load
-        tracker=cfg_mod.TrackerConfig(mapper_latency_frames=5),
+        # inserts when its mapper is idle (Tracking.cc:1041-1059); -1 =
+        # AUTO derives the busy window from the MEASURED backend_insert
+        # cost at 30 fps (System._mapper_latency)
+        tracker=cfg_mod.TrackerConfig(mapper_latency_frames=-1),
         mapper=cfg_mod.MapperConfig(max_keyframes=64, max_points=16384))
     scene = synthetic.make_scene(600, seed=3)
     # 30 fps-class inter-frame motion: make_trajectory spreads a fixed

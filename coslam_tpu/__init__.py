@@ -33,6 +33,25 @@ import os as _os
 # (the reference pays an analogous one-time cost loading its 145 MB
 # vocabulary, System.cc:68-75).  Cache across processes so repeated CLI /
 # bench / test invocations skip recompilation entirely.
+def _host_cpu_identity() -> str:
+    """Stable id of the host CPU's ISA feature set (x86: model + flags)."""
+    parts = []
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("model name", "flags")):
+                    parts.append(line.strip())
+                if len(parts) == 2:
+                    return "|".join(parts)
+    except OSError:
+        pass
+    if parts:
+        return "|".join(parts)
+    import platform
+
+    return platform.processor() or platform.machine()
+
+
 def _enable_compile_cache():
     if _os.environ.get("COSLAM_NO_COMPILE_CACHE"):
         return
@@ -40,12 +59,16 @@ def _enable_compile_cache():
 
     import jax
 
-    # pool entries by (platform selection, XLA flags): XLA:CPU AOT results
-    # are target-config-specific, and mixing configs in one pool makes the
-    # loader warn about machine-feature mismatches (SIGILL risk)
+    # pool entries by (platform selection, XLA flags, HOST CPU identity):
+    # XLA:CPU AOT results are target-config-specific — loading an
+    # executable compiled on a host with a different feature set not only
+    # risks SIGILL, it makes results depend on WHICH process compiled
+    # first (different instruction selection => different float rounding),
+    # which was the source of run-to-run ATE variance across machines
     env_key = hashlib.sha1(
         (_os.environ.get("JAX_PLATFORMS", "") + "|"
-         + _os.environ.get("XLA_FLAGS", "")).encode()).hexdigest()[:8]
+         + _os.environ.get("XLA_FLAGS", "") + "|"
+         + _host_cpu_identity()).encode()).hexdigest()[:8]
     cache_dir = _os.environ.get(
         "COSLAM_COMPILE_CACHE",
         _os.path.expanduser(f"~/.cache/coslam_jax/{env_key}"))

@@ -112,10 +112,13 @@ class TrackerConfig:
     # (~2-4 frames at a real camera's 20-30 fps).  The TPU backend is
     # dispatch-synchronous (always "idle"), so the throttle is modeled
     # explicitly: a mono keyframe may only be flagged >= this many frames
-    # after the last one.  0 = no throttle; the DATASET presets set it to
-    # the real-cadence value (synthetic test scenes compress whole sweeps
-    # into tens of frames, where per-frame motion is many real frames'
-    # worth and a fixed gap would starve the map).
+    # after the last one.  0 = no throttle (synthetic test scenes compress
+    # whole sweeps into tens of frames, where per-frame motion is many real
+    # frames' worth and a fixed gap would starve the map); -1 = AUTO — the
+    # System MEASURES its backend_insert wall cost and converts it to
+    # frames at the camera rate (System._mapper_latency), which is the
+    # reference's actual insert-when-idle semantics.  Positive values are
+    # explicit overrides.
     mapper_latency_frames: int = 0
     min_inliers_track: int = 30        # TrackLocalMap gate (Tracking.cc:969-973)
     min_inliers_reloc: int = 50
@@ -148,6 +151,10 @@ class MapperConfig:
     ba_window: int = 24                 # gathered local-BA window size (free
                                         # covisible KFs + fixed anchors) —
                                         # keeps local BA problem-shaped
+    ba_local_points: int = 4096         # compact point capacity of the
+                                        # windowed local BA (solve_dense_
+                                        # compact) — per-iteration tensors
+                                        # scale with this, not map capacity
     # Static capacities of the SoA map
     max_keyframes: int = 256
     max_points: int = 32768
@@ -165,6 +172,11 @@ class LoopConfig:
     sim3_ransac_iters: int = 300       # LoopClosing.cc:275 (0.99, 20, 300)
     sim3_min_inliers: int = 20
     sim3_min_total_matches: int = 40
+    sim3_max_scale: float = 4.0        # sanity bound on an accepted loop
+                                       # Sim3's scale (mono drift is a few
+                                       # percent per loop; a degenerate
+                                       # RANSAC fit can "verify" with an
+                                       # absurd scale and destroy the map)
     essential_graph_iters: int = 20    # Optimizer.cc:781 (20 its)
     essential_graph_covis_w: int = 100 # Optimizer.cc edge weight gate
     # sparse essential graph (the reference's edge set is O(K): spanning
@@ -180,7 +192,12 @@ class LoopConfig:
                                        # reference ships 1M tree words,
                                        # ORBvoc.txt — flat 4k trained on the
                                        # deployment domain is the TPU analog)
+    vocab_pretrained: bool = True      # load assets/vocab.npz at startup
+                                       # (the reference's ORBvoc.txt load,
+                                       # System.cc:61-72); falls back to the
+                                       # online-trained path when absent
     vocab_retrain_at: Tuple[int, ...] = (4, 16, 64)  # online re-train points
+                                       # (only without a pretrained vocab)
     max_loop_edges: int = 16           # accumulated loop-edge capacity fed to
                                        # every essential-graph solve
     brute_force_shortlist: bool = False  # fall back to all-pairs landmark
@@ -229,7 +246,7 @@ def tum_fr1_config(**overrides) -> SystemConfig:
         width=640, height=480, fps=30.0,
     )
     return SystemConfig(camera=cam,
-                        tracker=TrackerConfig(mapper_latency_frames=5)
+                        tracker=TrackerConfig(mapper_latency_frames=-1)
                         ).replace(**overrides)
 
 
@@ -241,7 +258,7 @@ def euroc_config(**overrides) -> SystemConfig:
         width=752, height=480, fps=20.0,
     )
     return SystemConfig(camera=cam,
-                        tracker=TrackerConfig(mapper_latency_frames=3)
+                        tracker=TrackerConfig(mapper_latency_frames=-1)
                         ).replace(**overrides)
 
 

@@ -496,7 +496,28 @@ class CoopAgent(System):
             key = jax.random.PRNGKey(1234 + foreign_kf)
             res = lc.sim3_between(cfg, m, foreign_kf, cand, idx2, pt1,
                                   pt2, ok, key)
+            if int(res.n_inliers) < max(8, cfg.loop.sim3_min_inliers // 2):
+                continue
+            # scale sanity: two mono agents' maps are independently
+            # median-depth-normalized at init, so their relative scale is
+            # bounded by a modest factor; a degenerate RANSAC fit can pass
+            # the reprojection gate at an absurd scale (see LoopCloser).
+            # The cross-agent bound is the square of the intra-map one.
+            s_max = cfg.loop.sim3_max_scale ** 2
+            if not (1.0 / s_max < float(res.s) < s_max):
+                continue
+            # SearchBySim3-style expansion + polish (same flow as
+            # LoopCloser.on_keyframe; the acceptance gate applies to the
+            # EXPANDED inlier set)
+            idx2, pt1, pt2, ok = lc.expand_sim3_matches(
+                cfg, m, jnp.asarray(foreign_kf), jnp.asarray(cand),
+                res.s, res.R, res.t)
+            res = lc.sim3_refine_pairs(cfg, m, jnp.asarray(foreign_kf),
+                                       jnp.asarray(cand), idx2, pt1, pt2,
+                                       ok, res.s, res.R, res.t)
             if int(res.n_inliers) < cfg.loop.sim3_min_inliers:
+                continue
+            if not (1.0 / s_max < float(res.s) < s_max):
                 continue
             # S21: foreign-KF cam -> own-KF cam.  World-to-world:
             # S_wOwn_wFor = T_own^-1 o S21 o T_for  (as Sim3)

@@ -254,14 +254,24 @@ def create_map_points(cfg: SystemConfig, m: ms.MapState, kf_id) -> ms.MapState:
 @functools.partial(jax.jit, static_argnums=(0,))
 def cull_points(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     """Recent-point culling (reference LocalMapping::MapPointCulling,
-    LocalMapping.cc:170-206): drop points with found/visible ratio < 0.25,
-    or too few observations within 2 keyframes of creation."""
+    LocalMapping.cc:170-206): drop RECENT points with found/visible ratio
+    < 0.25, or too few observations within 2 keyframes of creation.
+
+    The age gate is essential, not cosmetic: the reference only ever
+    ratio-culls points still on its recent list (points older than 3
+    keyframes leave mlpRecentAddedMapPoints and become immune,
+    LocalMapping.cc:198-204).  Applying the ratio to ALL points mass-culls
+    the far side of a loop right before closure — approaching a drifted
+    revisit, old landmarks enter the predicted frustum (visible++) but
+    cannot match until the loop is corrected (found stays), so their ratio
+    decays exactly when loop closing needs them."""
     ratio = m.pt_found.astype(jnp.float32) / jnp.maximum(
         m.pt_visible.astype(jnp.float32), 1.0)
     obs = ms.point_obs_count(m)
     age = m.n_kf - m.pt_first_kf
-    bad = (ratio < cfg.mapper.culling_found_ratio) \
-        | ((age >= 2) & (age <= 3) & (obs <= 2))
+    recent = age <= 3
+    bad = recent & ((ratio < cfg.mapper.culling_found_ratio)
+                    | ((age >= 2) & (obs <= 2)))
     return m._replace(pt_valid=m.pt_valid & ~bad)
 
 
@@ -645,8 +655,12 @@ def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
     )
     # dense Schur + direct solve: at window size W the (6W, 6W) reduced
     # system solves exactly in one step — ~10x shorter dispatch chain than
-    # 30-iteration matrix-free PCG (ba.solve_dense docstring)
-    res = ba.solve_dense(cfg.camera, prob, iters=iters)
+    # 30-iteration matrix-free PCG (ba.solve_dense docstring).  The point
+    # axis is compacted to the window's observed landmarks first: per-iter
+    # tensors scale with ba_local_points, not the map's point capacity
+    res = ba.solve_dense_compact(cfg.camera, prob,
+                                 min(cfg.mapper.ba_local_points,
+                                     m.pt_pos.shape[0]), iters=iters)
     new_pose = jnp.where(free[:, None, None], res.poses, m.kf_pose[kf_sel])
     outlier = (obs_valid & ~res.obs_inlier).reshape(W, N)
     new_rows = jnp.where(outlier, -1, obs_pt_w)
@@ -657,23 +671,20 @@ def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
     )
 
 
-def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k,
-                      cross_fuse: bool = True) -> ms.MapState:
+def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     """The LocalMapping::Run iteration after a keyframe lands in slot k
     (reference LocalMapping.cc:37-94: CreateNewMapPoints, SearchInNeighbors,
     MapPointCulling, local BA, KeyFrameCulling).
 
-    `cross_fuse=False` skips the whole-map projection fuse — used for
-    foreign keyframes whose sub-map is NOT yet Sim3-aligned with the local
-    one: projecting unrelated-world landmarks into them produces
-    descriptor-plausible but geometrically-nonsense cross-bindings.  The
-    remaining steps stay within the keyframe's covisible component."""
+    Foreign keyframes of a not-yet-aligned sub-map never reach this pass —
+    cooperative.receive_packet defers their backend treatment until after
+    the Sim3 merge (full_backend=False pre-merge), so the whole-map
+    projection fuse below always operates in one consistent world frame."""
     # bind the keyframe's free keypoints to EXISTING landmarks before
     # triangulating new ones: when insertion lags tracking (chunked driver),
     # the tracked bindings miss landmarks created since the chunk started,
     # and triangulating first would duplicate them at tiny baselines
-    if cross_fuse:
-        m = fuse_map_into_keyframe(cfg, m, k)
+    m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
     m = local_ba_body(cfg, m, k, iters=4)
@@ -720,13 +731,12 @@ def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
     return m, k, aux
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def backend_post_insert(cfg: SystemConfig, m: ms.MapState, k,
-                        cross_fuse: bool = True) -> ms.MapState:
+@functools.partial(jax.jit, static_argnums=(0,))
+def backend_post_insert(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     """Standalone fused backend pass for a keyframe already in the map —
     used for wire-reconstructed FOREIGN keyframes, which must receive the
     same treatment as local ones (reference hands received keyframes to
     LocalMapping at ros_mono.cc:2163: triangulation among received KFs,
-    fusion, local BA, culling).  `cross_fuse=False` for keyframes of a
-    not-yet-aligned foreign sub-map (see _post_insert_body)."""
-    return _post_insert_body(cfg, m, k, cross_fuse)
+    fusion, local BA, culling).  Only Sim3-aligned keyframes reach this
+    pass (see _post_insert_body)."""
+    return _post_insert_body(cfg, m, k)

@@ -42,8 +42,14 @@ def match_pair_points(cfg: SystemConfig, m: ms.MapState, k1, k2):
     # loose pre-filter: geometric verification is the Sim3 RANSAC's job, so
     # the descriptor gate runs at TH_HIGH without a ratio test (the reference
     # uses its BoW-bucketed 0.75-ratio search here, ORBmatcher.cc:522, but
-    # its strictness costs recall with no precision benefit before RANSAC)
-    mm = matching.match(m.kf_desc[k1], has1, m.kf_desc[k2], has2,
+    # its strictness costs recall with no precision benefit before RANSAC).
+    # The candidate side matches through its landmarks' MEDOID descriptors
+    # (MapPoint::ComputeDistinctiveDescriptors) — the viewpoint-stable
+    # appearance model, which recalls revisit pairs the per-frame
+    # descriptors miss (the reference's SearchByBoW(KF,KF) also returns
+    # MapPoint matches, ORBmatcher.cc:522-655)
+    desc2 = m.pt_desc[jnp.maximum(m.kf_obs_pt[k2], 0)]
+    mm = matching.match(m.kf_desc[k1], has1, desc2, has2,
                         cfg.matcher, max_dist=cfg.matcher.th_high,
                         mutual=True,
                         angle_q=m.kf_angle[k1], angle_t=m.kf_angle[k2])
@@ -117,6 +123,62 @@ def sim3_between(cfg: SystemConfig, m: ms.MapState, k1, k2,
     return sim3_ops.ransac_sim3(
         cfg.camera, x1c, x2c, uv1, uv2, cfg.loop.sim3_ransac_iters,
         False, valid=ok, key=key, chi2_th=9.21)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def expand_sim3_matches(cfg: SystemConfig, m: ms.MapState, k1, k2,
+                        s, R, t):
+    """Grow the landmark pairing under an ESTIMATED Sim3 (the reference's
+    SearchBySim3, ORBmatcher.cc:1102-1216, run between ComputeSim3's RANSAC
+    and OptimizeSim3): project k1's bound landmarks into k2's image through
+    S21 and window-match descriptors against k2's landmark-bound keypoints.
+    A marginal RANSAC consensus (10-20 pairs) typically grows to 2-4x here,
+    which is what pushes true loops over the acceptance gate."""
+    cam = cfg.camera
+    pt1 = m.kf_obs_pt[k1]
+    has1 = m.kf_kp_valid[k1] & (pt1 >= 0)
+    pt1s = jnp.maximum(pt1, 0)
+    has1 = has1 & m.pt_valid[pt1s]
+    X1c = geo.transform_points(m.kf_pose[k1], m.pt_pos[pt1s])
+    x2 = s * _he("ij,nj->ni", R, X1c) + t
+    z = x2[:, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uv_pred = jnp.stack([x2[:, 0] / zs * cam.fx + cam.cx,
+                         x2[:, 1] / zs * cam.fy + cam.cy], 1)
+    has1 = has1 & (z > 0.05)
+
+    pt2_row = m.kf_obs_pt[k2]
+    has2 = m.kf_kp_valid[k2] & (pt2_row >= 0) \
+        & m.pt_valid[jnp.maximum(pt2_row, 0)]
+    # radius 7.5 px at the keypoint's octave (SearchBySim3's th=7.5);
+    # candidate side matches through landmark medoid descriptors (see
+    # match_pair_points)
+    desc2 = m.pt_desc[jnp.maximum(pt2_row, 0)]
+    scales = jnp.asarray(cfg.extractor.scale_factors, jnp.float32)
+    r = 7.5 * scales[jnp.clip(m.kf_level[k1], 0, scales.shape[0] - 1)]
+    mm = matching.match_windowed(
+        m.kf_desc[k1], uv_pred, r, has1, desc2, m.kf_uv[k2], has2,
+        cfg.matcher, max_dist=cfg.matcher.th_high, mutual=True)
+    idx2 = jnp.maximum(mm.idx, 0)
+    pt2 = pt2_row[idx2]
+    ok = mm.valid & (pt1 >= 0) & (pt2 >= 0)
+    return idx2, pt1s, jnp.maximum(pt2, 0), ok
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def sim3_refine_pairs(cfg: SystemConfig, m: ms.MapState, k1, k2,
+                      idx2, pt1, pt2, ok, s, R, t):
+    """LM-polish an initial Sim3 over an (expanded) pair set — the
+    reference's OptimizeSim3 (Optimizer.cc:1046) applied after
+    SearchBySim3.  Returns a Sim3Result over the given pairs."""
+    x1c = geo.transform_points(m.kf_pose[k1], m.pt_pos[pt1])
+    x2c = geo.transform_points(m.kf_pose[k2], m.pt_pos[pt2])
+    uv1 = m.kf_uv[k1]
+    uv2 = m.kf_uv[k2][idx2]
+    s2, R2, t2, ok2 = sim3_ops.refine_sim3(
+        cfg.camera, x1c, x2c, uv1, uv2, s, R, t, ok, chi2_th=9.21)
+    return sim3_ops.Sim3Result(s=s2, R=R2, t=t2, inliers=ok2,
+                               n_inliers=ok2.sum())
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -238,6 +300,29 @@ def correct_loop(cfg: SystemConfig, m: ms.MapState, kf_cur, kf_loop,
                               kf_cur[None]]).astype(jnp.int32)
         evalid = jnp.concatenate(
             [v_seq, v_st, v_cov, v_prev, jnp.ones(1, bool)])
+        # DEDUPLICATE: a pair that is simultaneously sequential, a
+        # spanning-tree edge, a (possibly bidirectional) strong-covis
+        # neighbor and/or a loop edge would otherwise be counted up to 4x,
+        # skewing that constraint's weight vs the reference's unique edge
+        # set (Optimizer.cc:869-980).  Canonical key = (min, max) pair;
+        # loop edges (prio 0) win over structural duplicates (prio 1) so
+        # their corrected measurement survives.  2*K*K must fit int32 —
+        # holds to K = 32k, far past any supported capacity.
+        assert 2 * K * K < 2 ** 31
+        ekey = (jnp.minimum(ei, ej) * K + jnp.maximum(ei, ej)).astype(
+            jnp.int32)
+        E = ekey.shape[0]
+        n_loop = ei_prev.shape[0] + 1
+        prio = jnp.concatenate([jnp.ones(E - n_loop, jnp.int32),
+                                jnp.zeros(n_loop, jnp.int32)])
+        BIGK = jnp.int32(2 ** 31 - 1)
+        sort_key = jnp.where(evalid, ekey * 2 + prio, BIGK)
+        order = jnp.argsort(sort_key)
+        k_sorted = jnp.where(evalid[order], ekey[order], BIGK)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros(1, bool), k_sorted[1:] == k_sorted[:-1]])
+        dup = jnp.zeros(E, bool).at[order].set(dup_sorted)
+        evalid = evalid & ~dup
         meas = pose_graph.relative_sim3(v_old, ei, ej)
         # loop-edge measurement S_j S_i^-1 = S_cur_w_new o S_loop_w^-1
         # (edge oriented i=loop, j=cur — no min/max gymnastics needed)
@@ -319,19 +404,35 @@ def global_ba(cfg: SystemConfig, m: ms.MapState, iters: int = 8) -> ms.MapState:
     inv_sigma2 = 1.0 / jnp.asarray(cfg.extractor.level_sigma2,
                                    jnp.float32)[obs_level]
     K = m.kf_pose.shape[0]
-    # monocular gauge: fixing ONE camera leaves the global SCALE free, and
-    # LM can drift it by large factors (invisible to Umeyama-aligned ATE but
-    # fatal to anything holding map-frame transforms, e.g. the cooperative
-    # per-agent Sim3).  Pin the first TWO keyframes — their baseline anchors
-    # the scale.  Depth sensors observe scale directly; one anchor suffices.
-    n_fix = 2 if cfg.sensor == "mono" else 1
     prob = ba.BAProblem(
         poses=m.kf_pose, points=m.pt_pos, obs_kf=obs_kf, obs_pt=obs_pt,
         obs_uv=obs_uv, obs_w=inv_sigma2, obs_valid=obs_valid,
-        kf_fixed=(jnp.arange(K) < n_fix) | ~m.kf_valid)
+        kf_fixed=(jnp.arange(K) < 1) | ~m.kf_valid)
     res = ba.solve(cfg.camera, prob, iters=iters, pcg_iters=30)
+    poses, points = res.poses, res.points
+    if cfg.sensor == "mono":
+        # monocular gauge: fixing ONE camera leaves the global SCALE free
+        # and LM can drift it by large factors (invisible to Umeyama ATE
+        # but fatal to anything holding map-frame transforms, e.g. the
+        # cooperative per-agent Sim3).  Rather than pinning a second pose
+        # (which over-constrains its 6 DOF relative to slot 0 — advisor
+        # r4 #3), restore the scale POST-HOC: one similarity about slot
+        # 0's center so the summed keyframe-center spread matches the
+        # pre-BA map.  This fixes exactly the 1 gauge DOF and nothing
+        # else.  Depth sensors observe scale directly; no-op there.
+        c_old = ms.kf_centers(m)
+        c0 = c_old[0]
+        w = m.kf_valid.astype(jnp.float32)
+        spread_old = (w * jnp.linalg.norm(c_old - c0, axis=1)).sum()
+        R_new = poses[:, :3, :3]
+        c_new = -_he("kji,kj->ki", R_new, poses[:, :3, 3])
+        spread_new = (w * jnp.linalg.norm(c_new - c_new[0], axis=1)).sum()
+        s = spread_old / jnp.maximum(spread_new, 1e-9)
+        c_scaled = c_new[0] + s * (c_new - c_new[0])
+        poses = poses.at[:, :3, 3].set(-_he("kij,kj->ki", R_new, c_scaled))
+        points = c_new[0] + s * (points - c_new[0])
     outlier = (obs_valid & ~res.obs_inlier).reshape(m.kf_obs_pt.shape)
-    return m._replace(kf_pose=res.poses, pt_pos=res.points,
+    return m._replace(kf_pose=poses, pt_pos=points,
                       kf_obs_pt=jnp.where(outlier, -1, m.kf_obs_pt))
 
 
@@ -341,9 +442,10 @@ class LoopCloser:
 
     def __init__(self, cfg: SystemConfig, db: kdb.KeyFrameDatabase,
                  verbose: bool = False):
+        import os
         self.cfg = cfg
         self.db = db
-        self.verbose = verbose
+        self.verbose = verbose or bool(os.environ.get("COSLAM_LOOP_VERBOSE"))
         self.last_loop_kf = -10 ** 9
         # accepted loop pairs (cur_kf, loop_kf) — the analogue of the
         # reference's KeyFrame::AddLoopEdge records (LoopClosing.cc:561-562),
@@ -413,14 +515,53 @@ class LoopCloser:
             n_pair = int(ok.sum())
             if self.verbose:
                 print(f"[loop]   cand {cand}: {n_pair} point pairs", flush=True)
-            if n_pair < lcfg.sim3_min_bow_matches:
+            # half-gate at entry: the Sim3 RANSAC needs only a minimal
+            # consensus to seed the SearchBySim3 expansion below, where the
+            # FULL sim3_min_inliers gate applies (reference ComputeSim3's
+            # >= 20 BoW matches precede a solver whose inliers then grow
+            # through SearchBySim3, LoopClosing.cc:267-300)
+            if n_pair < max(6, lcfg.sim3_min_bow_matches // 2):
                 continue
-            self._key, sub = jax.random.split(self._key)
+            # (kf, candidate)-keyed PRNG: the Sim3 RANSAC draw is
+            # independent of how many attempts preceded it (weak #5)
+            sub = jax.random.fold_in(jax.random.fold_in(self._key, kf_id),
+                                     cand)
             res = sim3_between(self.cfg, m, kf_id, cand, idx2, pt1, pt2, ok, sub)
             if self.verbose:
                 print(f"[loop]   cand {cand}: sim3 inliers {int(res.n_inliers)}"
                       f" scale {float(res.s):.3f}", flush=True)
+            # a marginal RANSAC consensus is enough to ATTEMPT expansion
+            # (reference ComputeSim3 proceeds to SearchBySim3 once the
+            # solver converges, LoopClosing.cc:275-300)
+            if int(res.n_inliers) < max(6, lcfg.sim3_min_inliers // 2):
+                continue
+            s_hat = float(res.s)
+            if not (1.0 / lcfg.sim3_max_scale < s_hat
+                    < lcfg.sim3_max_scale):
+                # degenerate fit: a near-coincident/collinear inlier set can
+                # satisfy the reprojection gate at an absurd scale; a real
+                # same-map loop's scale drift is a few percent
+                if self.verbose:
+                    print(f"[loop]   cand {cand}: rejected, scale {s_hat:.3g}",
+                          flush=True)
+                continue
+            # SearchBySim3-style match expansion + OptimizeSim3 polish —
+            # the acceptance gate applies to the EXPANDED inlier set
+            idx2, pt1, pt2, ok = expand_sim3_matches(
+                self.cfg, m, jnp.asarray(kf_id), jnp.asarray(cand),
+                res.s, res.R, res.t)
+            res = sim3_refine_pairs(self.cfg, m, jnp.asarray(kf_id),
+                                    jnp.asarray(cand), idx2, pt1, pt2, ok,
+                                    res.s, res.R, res.t)
+            if self.verbose:
+                print(f"[loop]   cand {cand}: expanded inliers "
+                      f"{int(res.n_inliers)} scale {float(res.s):.3f}",
+                      flush=True)
             if int(res.n_inliers) < lcfg.sim3_min_inliers:
+                continue
+            s_hat = float(res.s)
+            if not (1.0 / lcfg.sim3_max_scale < s_hat
+                    < lcfg.sim3_max_scale):
                 continue
             prev, prev_valid = self._prev_loop_arrays()
             m = correct_loop(self.cfg, m, jnp.asarray(kf_id),

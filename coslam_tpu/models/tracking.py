@@ -393,7 +393,7 @@ class ChunkStep(NamedTuple):
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
-                carry: ChunkCarry, aux_imgs=None):
+                carry: ChunkCarry, aux_imgs=None, mapper_latency=None):
     """Steady-state tracking of a CHUNK of frames in ONE device dispatch.
 
     The reference decouples its tracker from its mapper with threads
@@ -482,8 +482,13 @@ def track_chunk(cfg: SystemConfig, m: MapState, imgs, allow_kf: bool,
         if mono:
             # bLocalMappingIdle throttle (Tracking.cc:1041-1059): mono
             # inserts only when the mapper is idle; model the mapper's
-            # cycle time as a minimum inter-keyframe gap
-            need = need & (fs >= tr.mapper_latency_frames)
+            # cycle time as a minimum inter-keyframe gap.  `mapper_latency`
+            # (traced) carries the MEASURED backend cycle converted to
+            # frames (System._mapper_latency); None falls back to the
+            # static config constant (tests / explicit overrides)
+            lat = (jnp.asarray(tr.mapper_latency_frames, jnp.int32)
+                   if mapper_latency is None else mapper_latency)
+            need = need & (fs >= lat)
         # the in-chunk gate models the insertion it just flagged: reset the
         # inter-keyframe counter so subsequent in-chunk flags respect the
         # throttle (the host inserts at the FIRST flag and splices up to

@@ -237,25 +237,26 @@ def extract_patches(img, yx, patch: int = RAW_PATCH):
 def _descriptors_from_patches(patches, valid):
     """(K, 1521) raw patches -> (angle (K,), packed desc (K, 8) uint32).
 
-    The two big contractions run in bf16 on the MXU (f32 accumulation):
-    patch values are 0-255 integers (exact in bf16); weight rounding
-    perturbs blurred intensities by ~0.3%, which can only flip BRIEF bits
-    whose sample pair is a near-tie — matching behavior is unaffected and
-    the vocabulary is trained on these descriptors.  bf16 doubles MXU
-    throughput on the 20 GFLOP/frame that dominates the hot path.
+    Precision of the two big contractions: the BRIEF bit test is
+    sign(I_blur(b) - I_blur(a)) on 0-255 intensities, so the pipeline
+    needs ~0.1 absolute (4e-4 relative) accuracy — MORE than bf16's 8-bit
+    mantissa (+-0.5 at mid-gray): pure-bf16 descriptors measurably flip
+    enough near-tie bits on low-texture regions to lose tracking on the
+    proxy scenes.  Precision.HIGH (bf16_3x splitting, ~16 effective
+    mantissa bits, error ~1e-2 intensity) keeps the MXU fast path while
+    restoring descriptor stability; it is ~3x bf16 cost on the 20
+    GFLOP/frame contraction but still far from dominating the hot path.
     """
     w_moment, w_blur, w_bits = _patch_matrices()  # np: HLO literals
     mom = jnp.dot(patches, w_moment, preferred_element_type=jnp.float32)
     angle = jnp.arctan2(mom[:, 1], mom[:, 0])
 
-    pb = patches.astype(jnp.bfloat16)
-    blurred = jnp.dot(pb, w_blur.astype(np.dtype(jnp.bfloat16)),
+    blurred = jnp.dot(patches, w_blur,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.DEFAULT)
-    diffs = jnp.dot(blurred.astype(jnp.bfloat16),
-                    w_bits.astype(np.dtype(jnp.bfloat16)),
+                      precision=jax.lax.Precision.HIGH)
+    diffs = jnp.dot(blurred, w_bits,
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.DEFAULT)
+                    precision=jax.lax.Precision.HIGH)
     bits_all = (diffs > 0).reshape(-1, N_ROT_BINS, DESC_WORDS, 32)
 
     shifts = np.arange(32, dtype=np.uint32)  # np: folds to an HLO literal

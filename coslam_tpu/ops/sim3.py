@@ -96,13 +96,22 @@ def ransac_sim3(cam: CameraConfig, x1c, x2c, uv1, uv2, iters: int = 300,
         x1_pred = _he("ji,nj->ni", R, (x2c - t)) / jnp.maximum(s, 1e-9)
         e2 = jnp.sum((project(x2_pred) - uv2) ** 2, -1)
         e1 = jnp.sum((project(x1_pred) - uv1) ** 2, -1)
-        ok = valid & (e1 < chi2_th) & (e2 < chi2_th)
+        # cheirality: a mapped point must sit in FRONT of the target
+        # camera — negative-depth projections can accidentally land near
+        # observed pixels and "verify" a mirrored/degenerate similarity
+        ok = valid & (e1 < chi2_th) & (e2 < chi2_th) \
+            & (x2_pred[:, 2] > 0.0) & (x1_pred[:, 2] > 0.0)
         return ok
 
     def one(idx):
         s, R, t = horn_sim3(x1c[idx], x2c[idx], fix_scale=fix_scale)
         ok = score(s, R, t)
-        return s, R, t, ok.sum()
+        # a minimal set of near-coincident points yields an arbitrary
+        # (often enormous) scale whose reprojections can still pass the
+        # chi2 gate when translation is small relative to scene depth —
+        # such hypotheses must not win the vote
+        s_ok = (s > 1.0 / 16.0) & (s < 16.0)
+        return s, R, t, jnp.where(s_ok, ok.sum(), -1)
 
     ss, Rs, ts, counts = jax.vmap(one)(samples)
     best = jnp.argmax(counts)

@@ -243,6 +243,56 @@ def solve_dense(cam: CameraConfig, prob: BAProblem, iters: int = 10,
                     cost=total_cost(poses, points, robust))
 
 
+def solve_dense_compact(cam: CameraConfig, prob: BAProblem,
+                        p_local: int, iters: int = 10,
+                        chi2_th: float = 5.991,
+                        robust: bool = True) -> BAResult:
+    """solve_dense on a point-COMPACTED subproblem.
+
+    The windowed local BA hands the solver points at full map capacity P,
+    but only the <= O landmarks its observations touch ever receive
+    gradient; every per-iteration tensor shaped by P (Hpp, the dense Y
+    block, their products) pays capacity, not problem size — measured ~40%
+    of the per-iteration wall at P=16k.  Here the observed point ids are
+    ranked into `p_local` compact slots (sort + first-occurrence cumsum,
+    all static shapes), the solver runs at P=p_local, and the updated
+    positions scatter back.  Observations of points beyond the p_local
+    capacity are masked out (they keep their positions) — with p_local of
+    a few thousand this only triggers on degenerate windows.
+
+    Semantically identical to solve_dense whenever the unique observed
+    points fit in p_local (tests/test_ba.py::test_compact_matches_dense).
+    """
+    P = prob.points.shape[0]
+    if p_local >= P:
+        return solve_dense(cam, prob, iters, chi2_th, robust)
+    O = prob.obs_pt.shape[0]
+    pt_key = jnp.where(prob.obs_valid, prob.obs_pt, P)       # (O,)
+    order = jnp.argsort(pt_key)
+    sorted_pt = pt_key[order]
+    first = jnp.concatenate([jnp.ones(1, bool),
+                             sorted_pt[1:] != sorted_pt[:-1]])
+    first = first & (sorted_pt < P)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1           # (O,)
+    # local slot -> global point id (capacity p_local, overflow dropped)
+    slot_pt = jnp.full(p_local, P, jnp.int32).at[
+        jnp.where(first & (rank < p_local), rank, p_local)].set(
+        sorted_pt, mode="drop")
+    # per-observation local id, undoing the sort
+    loc_sorted = jnp.where((sorted_pt < P) & (rank < p_local), rank, p_local)
+    loc = jnp.zeros(O, jnp.int32).at[order].set(loc_sorted)
+    ok = prob.obs_valid & (loc < p_local)
+    slot_safe = jnp.minimum(slot_pt, P - 1)
+    sub = prob._replace(points=prob.points[slot_safe],
+                        obs_pt=jnp.minimum(loc, p_local - 1),
+                        obs_valid=ok)
+    res = solve_dense(cam, sub, iters, chi2_th, robust)
+    live = slot_pt < P
+    points = prob.points.at[jnp.where(live, slot_pt, P)].set(
+        jnp.where(live[:, None], res.points, 0.0), mode="drop")
+    return res._replace(points=points)
+
+
 def solve_body(cam: CameraConfig, prob: BAProblem, iters: int,
                pcg_iters: int, chi2_th: float, robust: bool,
                axis_name) -> BAResult:

@@ -73,8 +73,14 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     def job(name: str, fn: Callable[[], None]):
         jobs.append((name, fn))
 
-    W_voc = cfg.loop.vocab_words or \
-        cfg.loop.vocab_branching ** cfg.loop.vocab_depth
+    # resolve the vocabulary size exactly as KeyFrameDatabase will, so the
+    # backend_insert program compiled here matches the one the System runs
+    from coslam_tpu.ops import bow as bow_mod
+    _pre = (bow_mod.load_pretrained_vocabulary()
+            if cfg.loop.vocab_pretrained else None)
+    W_voc = _pre.shape[0] if _pre is not None else (
+        cfg.loop.vocab_words or
+        cfg.loop.vocab_branching ** cfg.loop.vocab_depth)
     vocab = jax.ShapeDtypeStruct((W_voc, 8), jnp.uint32)
     scalar_b = jax.ShapeDtypeStruct((), jnp.bool_)
     P = cfg.mapper.max_points
@@ -116,22 +122,10 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
         job("backend_insert_depth", lambda: lm.backend_insert.lower(
             cfg, m, frame, T, scalar_i, kp_pt, True, depth, vocab).compile())
     if include_init:
-        job("match_for_init", lambda: system_mod._match_for_init.lower(
-            cfg, frame, frame).compile())
-        uv = jax.ShapeDtypeStruct((N, 2), f32)
-        valid = jax.ShapeDtypeStruct((N,), jnp.bool_)
-
-        def _init_graphs():
-            from coslam_tpu.ops import twoview
-            twoview.initialize.lower(
-                cfg.camera, uv, uv, valid, key, cfg.tracker.ransac_iters,
-                cfg.tracker.ransac_sigma, cfg.tracker.init_min_good).compile()
-            pts = jax.ShapeDtypeStruct((N, 3), f32)
-            system_mod._initial_map.lower(
-                cfg, m, frame, frame, scalar_i, scalar_i, T, pts, kp_pt,
-                valid).compile()
-
-        job("init", _init_graphs)
+        # the whole NOT_INITIALIZED frame (matching + RANSAC + conditional
+        # map bootstrap) is ONE fused program now
+        job("init_attempt", lambda: system_mod._init_attempt.lower(
+            cfg, m, frame, frame, scalar_i, scalar_i, key).compile())
     # relocalization path (reference Tracking::Relocalization) — reachable
     # from any tracking dropout; a cold compile mid-run stalls for minutes
     def _reloc_graphs():
@@ -160,6 +154,11 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
             okN = jax.ShapeDtypeStruct((N,), jnp.bool_)
             lc.sim3_between.lower(cfg, m, scalar_i, scalar_i, idx2,
                                   idx2, idx2, okN, key).compile()
+            lc.expand_sim3_matches.lower(cfg, m, scalar_i, scalar_i,
+                                         scalar_f, T3x3(), vec3()).compile()
+            lc.sim3_refine_pairs.lower(cfg, m, scalar_i, scalar_i, idx2,
+                                       idx2, idx2, okN, scalar_f, T3x3(),
+                                       vec3()).compile()
             L = cfg.loop.max_loop_edges
             prev = jax.ShapeDtypeStruct((L, 2), i32)
             prev_v = jax.ShapeDtypeStruct((L,), jnp.bool_)
@@ -180,8 +179,11 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
 
         job("loop_correct", _loop_correct_graphs)
 
-        # online vocabulary retraining (keyframe_db.maybe_retrain)
+        # online vocabulary retraining (keyframe_db.maybe_retrain) — only
+        # reachable when no pretrained vocabulary is shipped
         def _vocab_graphs():
+            if _pre is not None:
+                return
             from coslam_tpu.ops import bow
             K = cfg.mapper.max_keyframes
             W_v = W_voc

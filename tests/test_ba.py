@@ -97,3 +97,32 @@ def test_ba_respects_fixed_and_invalid():
     np.testing.assert_allclose(poses[1], np.asarray(prob.poses)[1], atol=1e-7)
     dT = poses[3] @ np.linalg.inv(poses_gt[3])
     assert np.linalg.norm(dT[:3, 3]) < 0.02
+
+
+def test_compact_matches_dense():
+    """solve_dense_compact must equal solve_dense whenever the window's
+    unique observed points fit the compact capacity — the windowed local
+    BA's default regime (models/local_mapping.local_ba_body)."""
+    rng = np.random.default_rng(7)
+    prob, poses_gt, pts_gt = _make_problem(rng, n_kf=6, n_pt=300,
+                                           noise_px=0.4)
+    # embed the 300 points sparsely in a larger capacity with junk padding
+    P_big = 2048
+    pts_big = np.asarray(rng.normal(size=(P_big, 3)), np.float32)
+    ids = rng.choice(P_big, 300, replace=False).astype(np.int32)
+    pts_big[ids] = np.asarray(prob.points)
+    prob_big = prob._replace(points=jnp.asarray(pts_big),
+                             obs_pt=jnp.asarray(ids)[prob.obs_pt])
+    res_d = ba.solve_dense(CAM, prob_big, iters=6)
+    res_c = ba.solve_dense_compact(CAM, prob_big, 512, iters=6)
+    np.testing.assert_allclose(np.asarray(res_c.poses),
+                               np.asarray(res_d.poses), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res_c.points)[ids],
+                               np.asarray(res_d.points)[ids], atol=2e-4)
+    # untouched padding slots keep their positions
+    mask = np.ones(P_big, bool)
+    mask[ids] = False
+    np.testing.assert_allclose(np.asarray(res_c.points)[mask],
+                               pts_big[mask], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(res_c.obs_inlier),
+                                  np.asarray(res_d.obs_inlier))
