@@ -172,12 +172,14 @@ def bench_full_system(n_frames: int = 120):
     fps, slam = run()  # pass 2: steady-state, fresh System
     n_kf = int(np.asarray(slam.map.kf_valid).sum())
     lost = sum(1 for s in slam.stats if s.get("lost"))
-    return fps, n_kf, lost
+    discard = round(slam.n_frames_discarded
+                    / max(slam.n_frames_chunked, 1), 4)
+    return fps, n_kf, lost, discard
 
 
 def main():
     hot_fps, flops_per_frame, stages = bench_hot_path()
-    sys_fps, n_kf, lost = bench_full_system()
+    sys_fps, n_kf, lost, discard = bench_full_system()
 
     import jax
     kind = jax.devices()[0].device_kind
@@ -198,6 +200,7 @@ def main():
         "hot_path_stage_ms": stages,
         "keyframes_in_run": n_kf,
         "lost_frames": lost,
+        "chunk_discard_rate": discard,
         "device": kind,
     }))
 

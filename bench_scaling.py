@@ -33,6 +33,9 @@ def main():
     p.add_argument("--n-pt", type=int, default=12000)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--pcg-iters", type=int, default=30)
+    p.add_argument("--obs-per-kf", type=int, default=0,
+                   help="subsample visible observations per keyframe "
+                        "(0 = keep all)")
     args = p.parse_args()
 
     if args.virtual:
@@ -76,6 +79,8 @@ def main():
         vis = (pc[:, 2] > 0.5) & (uv[:, 0] > 0) & (uv[:, 0] < cam.width) \
             & (uv[:, 1] > 0) & (uv[:, 1] < cam.height)
         idx = np.nonzero(vis)[0]
+        if args.obs_per_kf and idx.size > args.obs_per_kf:
+            idx = rng.choice(idx, args.obs_per_kf, replace=False)
         obs_kf.append(np.full(idx.size, k, np.int32))
         obs_pt.append(idx.astype(np.int32))
         obs_uv.append(uv[idx] + rng.normal(0, 0.4, (idx.size, 2)))
@@ -101,12 +106,40 @@ def main():
 
     def timed(fn, *a, reps=3):
         out = fn(*a)
-        jax.block_until_ready(out)      # compile + warmup
+        # fetch-forced sync: block_until_ready does NOT synchronize on
+        # remote ("axon") backends — a scalar device_get does
+        jax.device_get(out.cost)        # compile + warmup
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*a)
-        jax.block_until_ready(out)
+        jax.device_get(out.cost)
         return (time.perf_counter() - t0) / reps, out
+
+    def hlo_collective_census(lowered):
+        """Count collective call sites + operand bytes in compiled HLO —
+        the 'measured' cross-check of the analytic collective model (each
+        site executes once per enclosing loop iteration)."""
+        import re
+        try:
+            txt = lowered.compile().as_text()
+        except Exception:
+            return None
+        census = {}
+        for m in re.finditer(
+                r"(f32|bf16|s32|u32|pred)\[([\d,]*)\][^\n=]*= "
+                r"(all-reduce|all-gather|reduce-scatter|all-to-all|"
+                r"collective-permute)\(", txt):
+            dt, shape, op = m.group(1), m.group(2), m.group(3)
+            n = 1
+            for d_ in shape.split(","):
+                if d_:
+                    n *= int(d_)
+            width = {"f32": 4, "s32": 4, "u32": 4, "bf16": 2, "pred": 1}[dt]
+            census.setdefault(op, [0, 0])
+            census[op][0] += 1
+            census[op][1] += n * width
+        return {k: {"sites": v[0], "bytes_per_pass": v[1]}
+                for k, v in census.items()}
 
     t1, ref = timed(lambda: ba.solve(cam, prob, iters=args.iters,
                                      pcg_iters=args.pcg_iters))
@@ -132,14 +165,24 @@ def main():
             cam, prob, m, iters=args.iters, pcg_iters=args.pcg_iters))
         diffp = float(np.abs(np.asarray(resp.poses)
                              - np.asarray(ref.poses)).max())
+        census = None
+        try:
+            census = hlo_collective_census(
+                jax.jit(lambda p: sharded_ba.solve_partitioned(
+                    cam, p, flat, iters=args.iters,
+                    pcg_iters=args.pcg_iters)).lower(prob))
+        except Exception:
+            pass
         print(json.dumps({
             "devices": d, "mode": "partitioned",
             "t_solve_s": round(tp, 4),
+            "t_per_LM_iter_ms": round(tp / args.iters * 1e3, 2),
             "speedup_vs_1": round(t1 / tp, 3),
             "max_pose_diff": round(diffp, 6),
-            "collective_bytes_per_LM_iter_per_dev":
+            "modeled_collective_bytes_per_LM_iter_per_dev":
                 sharded_ba.collective_bytes_per_iter(
                     args.n_kf, d, args.pcg_iters),
+            "hlo_collective_census": census,
             "hbm_points_frac_per_dev": round(1.0 / d, 3)}))
         d *= 2
 

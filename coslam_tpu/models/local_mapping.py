@@ -272,6 +272,13 @@ def cull_points(cfg: SystemConfig, m: ms.MapState) -> ms.MapState:
     recent = age <= 3
     bad = recent & ((ratio < cfg.mapper.culling_found_ratio)
                     | ((age >= 2) & (obs <= 2)))
+    # observation-lifecycle hygiene at ANY age: when keyframe culling (or
+    # fusion) erased a mature point's observations down to <= 1 keyframe,
+    # the reference SetBads it (MapPoint::EraseObservation -> SetBadFlag
+    # at nObs <= 2, MapPoint.cc:118-143).  Without this, repeat-lap runs
+    # accumulate orphaned landmarks that keep every keyframe looking
+    # non-redundant and defeat the bounded-memory equilibrium.
+    bad = bad | (~recent & (obs <= 1))
     return m._replace(pt_valid=m.pt_valid & ~bad)
 
 
@@ -671,7 +678,8 @@ def local_ba_body(cfg: SystemConfig, m: ms.MapState, center,
     )
 
 
-def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
+def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k,
+                      ba_iters: int = 4) -> ms.MapState:
     """The LocalMapping::Run iteration after a keyframe lands in slot k
     (reference LocalMapping.cc:37-94: CreateNewMapPoints, SearchInNeighbors,
     MapPointCulling, local BA, KeyFrameCulling).
@@ -687,7 +695,7 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     m = fuse_map_into_keyframe(cfg, m, k)
     m = create_map_points(cfg, m, k)
     m = fuse_into_neighbors(cfg, m, k)
-    m = local_ba_body(cfg, m, k, iters=4)
+    m = local_ba_body(cfg, m, k, iters=ba_iters)
     m = cull_points(cfg, m)
     m = cull_keyframes(cfg, m, k)
     # ONE geometry refresh at the end, over the final observation table —
@@ -698,10 +706,10 @@ def _post_insert_body(cfg: SystemConfig, m: ms.MapState, k) -> ms.MapState:
     return m
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+@functools.partial(jax.jit, static_argnums=(0, 6, 9))
 def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
                    T, frame_id, kp_pt, has_depth: bool = False,
-                   kp_depth=None, vocab=None):
+                   kp_depth=None, vocab=None, ba_iters: int = 4):
     """The full post-insertion backend as ONE jitted program — the entire
     LocalMapping::Run iteration (reference LocalMapping.cc:37-94:
     ProcessNewKeyFrame, MapPointCulling, CreateNewMapPoints,
@@ -718,7 +726,12 @@ def backend_insert(cfg: SystemConfig, m: ms.MapState, frame: Frame,
     m, k = insert_keyframe(cfg, m, frame, T, frame_id, kp_pt)
     if has_depth:
         m = add_depth_points(cfg, m, k, kp_depth)
-    m = _post_insert_body(cfg, m, k)
+    # `ba_iters` < 4 is the InterruptBA analogue (reference
+    # LocalMapping.cc:615-631: local BA aborts when the next keyframe is
+    # already waiting): under keyframe pressure the System dispatches the
+    # light variant and the truncated optimization is recovered by the
+    # next unpressured insert's full windowed BA over the same window
+    m = _post_insert_body(cfg, m, k, ba_iters)
     aux = {"pose": m.kf_pose[k],
            "covis_row": ms.covisibility_row(m, k),
            "obs_row": m.kf_obs_pt[k],

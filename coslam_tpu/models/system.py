@@ -197,16 +197,30 @@ class System:
         # camera rate.  Until the first measurement lands, assume a 100 ms
         # mapper cycle (the reference-class figure).
         self._insert_cost_s: Optional[float] = None
+        # chunked-driver discard accounting (VERDICT r4 task #7): frames a
+        # chunk computed but did not accept (degradation cuts, keyframe
+        # splices, losses) are re-dispatched — the cost of free-running
+        # tracking past a failure, reported by bench/stats
+        self.n_frames_chunked = 0     # frames computed by chunk dispatches
+        self.n_frames_discarded = 0   # of those, re-tracked later
+        self._pf_cooldown = 0         # per-frame hysteresis after a hard
+        #                               chunk cut (avoids chunk->cut thrash
+        #                               around losses/relocalizations)
 
     @property
-    def _mapper_latency(self) -> int:
-        lat = self.cfg.tracker.mapper_latency_frames
-        if lat >= 0:
-            return lat
+    def _mapper_busy_frames(self) -> int:
+        """The MEASURED mapper cycle in frame periods at this camera rate
+        (reference: the mono tracker inserts only when LocalMapping is
+        idle, Tracking.cc:1041-1059; its busy window IS its cycle time)."""
         cost = self._insert_cost_s if self._insert_cost_s is not None else 0.1
         fps = self.cfg.camera.fps or 30.0
         return int(np.clip(np.ceil(cost * fps), 1,
                            max(self.cfg.tracker.max_frames // 2, 1)))
+
+    @property
+    def _mapper_latency(self) -> int:
+        lat = self.cfg.tracker.mapper_latency_frames
+        return lat if lat >= 0 else self._mapper_busy_frames
 
     def _note_insert_cost(self, dt: float):
         """Track the fastest observed backend cycle (closest to the pure
@@ -519,8 +533,13 @@ class System:
         carry = None   # device-resident tracking state; rebuilt from host
         #                state only after losses/loop-corrections/compaction
         while i < n:
-            # any non-OK stretch (initialization, LOST/reloc) runs per-frame
-            if self.state != "OK":
+            # any non-OK stretch (initialization, LOST/reloc) runs
+            # per-frame, as does the cooldown window after a hard chunk
+            # cut (re-dispatching a full chunk into a still-unstable
+            # stretch wastes C-1 frames of device work per attempt)
+            if self.state != "OK" or self._pf_cooldown > 0:
+                if self.state == "OK" and self._pf_cooldown > 0:
+                    self._pf_cooldown -= 1
                 # a deferred loop closure/GBA collected here moves every
                 # keyframe pose; the tracker's motion prior (last_T /
                 # velocity) must be re-expressed in the corrected frame
@@ -538,6 +557,13 @@ class System:
                                    @ self._kf_pose_np()[r]).astype(np.float32)
                     self.velocity = None
                 track_one(i)
+                # chunk re-entry requires HEALTHY per-frame tracking: a
+                # chunk cuts (and discards its C frames) at <= 20 inliers,
+                # so dispatching one while inliers hover below ~25 just
+                # thrashes chunk->cut->chunk around recoveries
+                if self.state == "OK" and self.stats \
+                        and self.stats[-1].get("inliers", 99) < 25:
+                    self._pf_cooldown = max(self._pf_cooldown, 1)
                 i += 1
                 continue
             # sequence tail shorter than a chunk: PAD with copies of the
@@ -603,7 +629,10 @@ class System:
             limit = int(deg_idx[0]) if deg_idx.size else first_bad
             limit = min(limit, real)   # padded tail frames are never accepted
 
+            self.n_frames_chunked += real
             if limit == 0:
+                self.n_frames_discarded += real
+                self._pf_cooldown = C
                 # no safely-usable prefix — per-frame path arbitrates this
                 # frame (tracks it, inserts, or enters LOST/reloc).  Restore
                 # host state from the chunk's INPUT carry (last good state);
@@ -639,6 +668,7 @@ class System:
                 n_acc = j1 + 1
                 while n_acc < limit and not needs[n_acc]:
                     n_acc += 1
+            self.n_frames_discarded += real - n_acc
 
             for j in range(n_acc):
                 self._note_frame(fid(i + j), ts(i + j))
@@ -689,10 +719,18 @@ class System:
                               if n_acc == C
                               else (vis_snap[last], found_snap[last]))
                 self.map = self.map._replace(pt_visible=vis, pt_found=found)
+                # InterruptBA (reference LocalMapping.cc:615-631): when this
+                # keyframe arrived inside the measured mapper cycle of the
+                # previous one, dispatch the TRUNCATED-BA insert variant —
+                # the next unpressured insert's full windowed BA covers the
+                # same covisible window and repays the optimization debt
+                fs_at_flag = self.frames_since_kf - n_acc + j1 + 1
+                ba_iters = 2 if fs_at_flag < self._mapper_busy_frames else 4
                 m2, _k, aux = lm.backend_insert(
                     self.cfg, self.map, frame_j, jnp.asarray(out.T[j1]),
                     jnp.asarray(fid(i + j1), jnp.int32), kp_pts[j1],
-                    depth_j is not None, depth_j, self.db.vocab)
+                    depth_j is not None, depth_j, self.db.vocab,
+                    ba_iters=ba_iters)
                 self.map = m2
                 kf_i = self._host_n_kf
                 self._host_n_kf += 1
@@ -1199,7 +1237,12 @@ class System:
         n_pt = int(np.asarray(self.map.pt_valid).sum())
         return {"frames": self.n_frames_tracked, "keyframes": n_kf,
                 "map_points": n_pt, "loops_closed": self.n_loops_closed,
-                "relocalizations": getattr(self, "n_relocalizations", 0)}
+                "relocalizations": getattr(self, "n_relocalizations", 0),
+                "frames_chunked": self.n_frames_chunked,
+                "frames_discarded": self.n_frames_discarded,
+                "chunk_discard_rate": round(
+                    self.n_frames_discarded
+                    / max(self.n_frames_chunked, 1), 4)}
 
     def save_trajectory_tum(self, path: str):
         """Per-frame camera trajectory in TUM format (System.h:103 /

@@ -123,9 +123,18 @@ def relocalize_against_kf(cfg: SystemConfig, m: MapState, frame: Frame,
     pt = m.kf_obs_pt[cand_kf]
     pt_safe = jnp.maximum(pt, 0)
     ok_t = (pt >= 0) & m.kf_kp_valid[cand_kf] & m.pt_valid[pt_safe]
+    # seed stage: mutual TH_HIGH matching WITHOUT a ratio test (on
+    # low-feature frames the ratio test starves the solver below its
+    # minimal-set needs) but WITH rotation consistency against the
+    # candidate keyframe's keypoint orientations (the reference reloc
+    # SearchByBoW's mbCheckOrientation, ORBmatcher.cc:159-288) — wrong
+    # matches carry random rotation offsets, so the histogram filter
+    # raises the RANSAC inlier fraction, which enters the success
+    # probability at the 6th power (ops/pnp.ransac_pnp)
     mm = matching.match(frame.desc, frame.valid, m.pt_desc[pt_safe], ok_t,
                         cfg.matcher, max_dist=cfg.matcher.th_high,
-                        ratio=0.85, mutual=True)
+                        mutual=True,
+                        angle_q=frame.angle, angle_t=m.kf_angle[cand_kf])
     kp_pt = jnp.where(mm.valid, pt_safe[jnp.maximum(mm.idx, 0)], -1)
     ok = kp_pt >= 0
     X = m.pt_pos[jnp.maximum(kp_pt, 0)]
@@ -170,7 +179,7 @@ def relocalize_against_kf(cfg: SystemConfig, m: MapState, frame: Frame,
 
     # round 1 (window 10) only helps when the PnP pose is sane but starved
     T1, kp1, n1 = recovery_round(res.T, kp_pt, jnp.float32(10.0))
-    use1 = (res.n_inliers >= 10) & (n1 > res.n_inliers)
+    use1 = (res.n_inliers >= 6) & (n1 > res.n_inliers)
     T1 = jnp.where(use1, T1, res.T)
     kp1 = jnp.where(use1, kp1, kp_pt)
     n1 = jnp.where(use1, n1, res.n_inliers)

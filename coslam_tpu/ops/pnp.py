@@ -81,12 +81,16 @@ def _epnp_minimal(X, uvn):
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
 def ransac_pnp(cam: CameraConfig, X, uv, valid, key,
-               iters: int = 128, chi2_th: float = 5.991) -> PnPResult:
+               iters: int = 512, chi2_th: float = 5.991) -> PnPResult:
     """X: (N, 3) world points; uv: (N, 2) observed (undistorted) pixels.
 
     Reference Relocalization RANSAC parameters: 0.99, minInliers 10, 300
-    iters, minSet 4 (Tracking.cc:1388); here 6-point samples for stability,
-    fixed iteration count, argmax selection.
+    iters, minSet 4 (Tracking.cc:1388).  This EPnP formulation solves the
+    single-beta kernel case, which needs 2n >= 11 equations — so the
+    minimal sample is SIX points, and the success probability per draw is
+    w^6 at inlier fraction w.  Hypotheses are vmapped (compute-cheap), so
+    the iteration count is set for w ~ 0.35 (0.35^6 * 512 ~ 0.9); the
+    caller raises w by rotation-consistency filtering its seed matches.
     """
     n = X.shape[0]
     p = valid.astype(jnp.float32)

@@ -117,10 +117,16 @@ def warmup(cfg: SystemConfig, blocking: bool = True,
     if cfg.sensor == "mono":
         job("backend_insert", lambda: lm.backend_insert.lower(
             cfg, m, frame, T, scalar_i, kp_pt, False, None, vocab).compile())
+        job("backend_insert_light", lambda: lm.backend_insert.lower(
+            cfg, m, frame, T, scalar_i, kp_pt, False, None, vocab,
+            ba_iters=2).compile())
     else:
         depth = jax.ShapeDtypeStruct((N,), f32)
         job("backend_insert_depth", lambda: lm.backend_insert.lower(
             cfg, m, frame, T, scalar_i, kp_pt, True, depth, vocab).compile())
+        job("backend_insert_depth_light", lambda: lm.backend_insert.lower(
+            cfg, m, frame, T, scalar_i, kp_pt, True, depth, vocab,
+            ba_iters=2).compile())
     if include_init:
         # the whole NOT_INITIALIZED frame (matching + RANSAC + conditional
         # map bootstrap) is ONE fused program now

@@ -30,6 +30,8 @@ sys.path.insert(0, ROOT)
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"  # local CPU compiles (see
+#                                                 tests/conftest.py)
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -54,6 +54,9 @@ def run_one(spec, datasets_dir, out_dir):
     # dataset path is a correctness run, not a perf run
     env["PYTHONPATH"] = ROOT + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    # local compilation: remote-compiled CPU binaries target a foreign
+    # feature set and break bit-reproducibility (tests/conftest.py)
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (
@@ -79,6 +82,9 @@ def main():
     ap.add_argument("--datasets", default=os.path.join(ROOT, "datasets"))
     ap.add_argument("--out", default=os.path.join(ROOT, "RESULTS.md"))
     ap.add_argument("--results-dir", default=os.path.join(ROOT, "results"))
+    ap.add_argument("--reps", type=int, default=3,
+                    help="repetitions per row; the spread column "
+                         "demonstrates run-to-run reproducibility")
     args = ap.parse_args()
     os.makedirs(args.results_dir, exist_ok=True)
 
@@ -89,11 +95,22 @@ def main():
 
     results = []
     for spec in RUNS:
-        print(f"== {spec['name']}", flush=True)
-        r = run_one(spec, args.datasets, args.results_dir)
-        print(json.dumps({k: v for k, v in r.items() if k != "spec"}),
-              flush=True)
-        results.append(r)
+        reps = []
+        for rep in range(args.reps):
+            print(f"== {spec['name']} (rep {rep + 1}/{args.reps})",
+                  flush=True)
+            r = run_one(spec, args.datasets, args.results_dir)
+            print(json.dumps({k: v for k, v in r.items() if k != "spec"}),
+                  flush=True)
+            reps.append(r)
+        best = reps[0]
+        ates = [x["ate_cm"] for x in reps if "ate_cm" in x]
+        if ates:
+            best["ate_cm"] = sum(ates) / len(ates)
+            best["ate_min"] = min(ates)
+            best["ate_max"] = max(ates)
+            best["n_reps"] = len(ates)
+        results.append(best)
 
     lines = [
         "# RESULTS — dataset-path validation\n",
@@ -109,16 +126,18 @@ def main():
         "validate real-imagery photometrics.  With network access, run "
         "`scripts/fetch_datasets.sh` and re-issue the identical commands "
         "on the real roots.\n",
-        "| Run | ATE RMSE | bound (proxy) | real-data reference point | "
-        "frames | wall |",
-        "|---|---|---|---|---|---|",
+        "| Run | ATE RMSE (mean of reps) | spread (min..max) | "
+        "bound (proxy) | real-data reference point | frames | wall |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in results:
         s = r["spec"]
         ate = f"{r.get('ate_cm', float('nan')):.2f} cm" \
             if "ate_cm" in r else f"FAILED (rc={r['rc']})"
+        spread = (f"{r['ate_min']:.2f}..{r['ate_max']:.2f} cm "
+                  f"({r['n_reps']} reps)" if "ate_min" in r else "—")
         lines.append(
-            f"| {s['name']} | {ate} | < {s['bound_cm']:.0f} cm | "
+            f"| {s['name']} | {ate} | {spread} | < {s['bound_cm']:.0f} cm | "
             f"{s['baseline']} | {r.get('tracked', '—')} | {r['wall_s']}s |")
     lines.append("\nCommands (re-runnable):\n")
     for r in results:
@@ -129,7 +148,9 @@ def main():
         f.write("\n".join(lines))
     print(f"wrote {args.out}")
     bad = [r for r in results
-           if r["rc"] != 0 or r.get("ate_cm", 1e9) > r["spec"]["bound_cm"]]
+           if r["rc"] != 0 or r.get("ate_max",
+                                    r.get("ate_cm", 1e9))
+           > r["spec"]["bound_cm"]]
     return 1 if bad else 0
 
 

@@ -19,6 +19,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Compile LOCALLY: some harnesses route XLA compilation to a remote service
+# whose host CPU has a different feature set — the loaded AOT executables
+# then differ numerically from locally-compiled ones (and warn about SIGILL
+# risk), making results depend on where compilation happened.  Tests force
+# the CPU platform anyway; local compilation keeps them reproducible
+# per-machine.
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
